@@ -1,0 +1,170 @@
+"""The wavefront path-tracing integrator.
+
+This is the TPU-native replacement of the reference's recursive
+`Camera::trace` (reference: src/world.rs:65-79): instead of one call stack
+per ray, a whole wavefront of N rays advances through a bounce loop
+carrying SoA state — (origin, direction, throughput, radiance, alive).
+Each bounce does a batched closest-hit query, batched emission + scatter
+(masked by material class), and masked termination; `lax.fori_loop` with a
+static trip count keeps everything statically shaped for XLA.
+
+Termination semantics match the reference exactly:
+  - depth exhausted      -> contributes black          (world.rs:66-67)
+  - miss                 -> throughput * background    (world.rs:76-78)
+  - absorbed (no scatter)-> emitted only               (world.rs:73-75)
+  - scatter              -> emitted + atten * recurse  (world.rs:70-72)
+which in wavefront form is
+  radiance += throughput * emitted;  throughput *= atten.
+
+Each ray also reports its bounce count, replacing the `(color, depth)`
+return used for the Depth display mode (main.rs:655-666).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..math.rng import Sampler
+from ..materials import shade
+
+# Reference default (main.rs:37).
+MAX_DEPTH = 50
+
+T_MIN = 1e-3  # world.rs:68: intersect(ray, 0.001, inf)
+
+
+def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH):
+    """Trace N rays to completion.
+
+    Args:
+      scene: geometry.scene.Scene.
+      o, d: (N,3) ray origins / (unnormalised) directions.
+      ray_id: (N,) int32 — stable per-ray stream ids for the RNG.
+      seed: scalar uint32 render seed.
+      max_depth: static bounce limit.
+
+    Returns:
+      (radiance (N,3), bounces (N,) int32).
+    """
+    n = o.shape[0]
+
+    def bounce(carry):
+        b, state = carry
+        o, d, throughput, radiance, alive, bounces = state
+        hits = scene.intersect(o, d, t_min=T_MIN)
+
+        # Per-bounce sampler: every draw is a pure function of
+        # (seed, ray_id, bounce), so results are schedule-invariant.
+        em_sampler = Sampler(seed, ray_id, salt=3 * b)
+        sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
+
+        emitted = shade.emitted(scene, hits, em_sampler)
+        atten, new_dir, scattered = shade.scatter(scene, hits, d, sc_sampler)
+
+        background = scene.background_eval(d)
+
+        live = alive
+        hit = hits.hit & live
+        miss = ~hits.hit & live
+
+        contrib = (jnp.where(miss[:, None], background, 0.0)
+                   + jnp.where(hit[:, None], emitted, 0.0))
+        radiance = radiance + throughput * contrib
+
+        cont = hit & scattered
+        throughput = jnp.where(cont[:, None], throughput * atten, throughput)
+        o = jnp.where(cont[:, None], hits.point, o)
+        d = jnp.where(cont[:, None], new_dir, d)
+        bounces = bounces + cont.astype(jnp.int32)
+        return (b + 1, (o, d, throughput, radiance, cont, bounces))
+
+    def any_alive(carry):
+        b, state = carry
+        # Early exit once the whole wavefront is dead: in typical scenes
+        # most paths terminate after a few bounces, so a while_loop makes
+        # the cost track the *mean* path length instead of max_depth (the
+        # reference's recursion gets this for free; a fori_loop wouldn't).
+        return (b < max_depth) & jnp.any(state[4])
+
+    # Carry inits derive from the ray arrays so they inherit the rays'
+    # varying-axes type under shard_map (fresh ones/zeros would not).
+    init = (
+        o, d,
+        jnp.ones_like(o),
+        jnp.zeros_like(o),
+        jnp.full_like(o[:, 0], True, dtype=bool),
+        jnp.zeros_like(o[:, 0], dtype=jnp.int32),
+    )
+    _, (o, d, throughput, radiance, alive, bounces) = jax.lax.while_loop(
+        any_alive, bounce, (jnp.int32(0), init))
+    # Rays still alive after max_depth bounces contribute black for the
+    # remaining path — already the case since we never added their tail.
+    return radiance, bounces
+
+
+# Rays per device program: bounds the (sphere_chunk, BATCH) intersection
+# temporaries in HBM; a 1080p frame runs as 16 sequential batches.
+RAY_BATCH = 1 << 17
+
+
+def trace_batched(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
+                  batch_size=RAY_BATCH):
+    """trace_wavefront in fixed-size sequential batches via lax.map.
+
+    Keeps peak memory flat for arbitrarily large frames; the pad lanes
+    trace a throwaway +z ray.
+    """
+    n = o.shape[0]
+    if n <= batch_size:
+        return trace_wavefront(scene, o, d, ray_id, seed,
+                               max_depth=max_depth)
+    k = -(-n // batch_size)
+    pad = k * batch_size - n
+
+    def pad_to(x, value):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    o_b = pad_to(o, 0.0).reshape(k, batch_size, 3)
+    d_b = pad_to(d, 1.0).reshape(k, batch_size, 3)  # avoid unit(0) NaNs
+    id_b = pad_to(ray_id, 0).reshape(k, batch_size)
+
+    def body(args):
+        ob, db, ib = args
+        return trace_wavefront(scene, ob, db, ib, seed,
+                               max_depth=max_depth)
+
+    radiance, bounces = jax.lax.map(body, (o_b, d_b, id_b))
+    return (radiance.reshape(k * batch_size, 3)[:n],
+            bounces.reshape(k * batch_size)[:n])
+
+
+def render_sample(scene, camera, width, height, seed, sample_index,
+                  max_depth=MAX_DEPTH, dtype=jnp.float32):
+    """Render one 1-spp pass over the full frame (the unit of progressive
+    accumulation, mirroring one reference render-thread pass,
+    main.rs:256-264).
+
+    Returns (radiance (H,W,3), bounces (H,W) int32).
+    """
+    n = width * height
+    ray_id = jnp.arange(n, dtype=jnp.uint32)
+    px = (ray_id % jnp.uint32(width)).astype(jnp.float32)
+    py = (ray_id // jnp.uint32(width)).astype(jnp.float32)
+
+    cam_sampler = Sampler(seed, ray_id + jnp.uint32(0x9E3779B9)
+                          * jnp.uint32(sample_index), salt=0xC0FFEE)
+    jx, jy, du, dv = cam_sampler.next4()
+
+    # Pixel-jittered viewport coords; t runs bottom-up like the reference
+    # (main.rs:258-259 uses y/height directly with a bottom-origin buffer).
+    s = (px + jx) / jnp.float32(width)
+    t = (py + jy) / jnp.float32(height)
+
+    o, d = camera.rays(s, t, du, dv)
+    sample_salt = jnp.uint32(sample_index) * jnp.uint32(0x85EBCA6B)
+    radiance, bounces = trace_batched(
+        scene, o, d, ray_id ^ sample_salt, seed, max_depth=max_depth)
+    return (radiance.reshape(height, width, 3).astype(dtype),
+            bounces.reshape(height, width))

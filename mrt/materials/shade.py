@@ -1,0 +1,179 @@
+"""Branch-free batched material shading.
+
+The reference dispatches `&dyn Material::scatter/emit` per ray
+(reference: src/material.rs:15-27, src/world.rs:65-79).  Here one call
+shades a whole wavefront: every material class is evaluated for every ray
+on the VPU and the per-ray result is selected by the hit's material row —
+cheaper on TPU than sorting by material for the small class count (8).
+
+Semantics matched to the reference:
+  Lambertian  normal + random_unit_vector, degenerate->normal
+              (material.rs:204-220)
+  Metal       reflect(unit(d)) + fuzz*in_unit_sphere, absorb when the
+              scattered direction leaves below the surface
+              (material.rs:261-284)
+  Dielectric  stochastic Schlick Fresnel, reflect on TIR, attenuation 1
+              (material.rs:296-329)
+  DiffuseLight no scatter, constant emission (material.rs:238-246)
+  Isotropic   uniform-ball scatter (material.rs:438-445)
+  Specular    Fresnel-gated mirror else inner Lambertian
+              (material.rs:352-383)
+  Mix         stochastic select of two rows, independent re-roll per
+              method exactly like the reference's per-call `f32::rand()`
+              (material.rs:402-426)
+  Null        never scatters (material.rs:385-389)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..math import vec, sampling
+from . import table as T
+
+
+def resolve_mix(materials: T.MaterialTable, rows, u_draws):
+    """Resolve MIX rows to concrete rows with pre-drawn uniforms.
+
+    ``u_draws`` is a list of MAX_MIX_DEPTH uniform arrays (rows-shaped);
+    each nesting level consumes one, mirroring the reference's fresh
+    `f32::rand()` per Mix level (material.rs:403-407).
+    """
+    for u in u_draws:
+        is_mix = materials.mtype[rows] == T.MIX
+        pick_left = u < materials.mix_ratio[rows]
+        resolved = jnp.where(pick_left, materials.mix_left[rows],
+                             materials.mix_right[rows])
+        rows = jnp.where(is_mix, resolved, rows)
+    return rows
+
+
+def surface_rgba(scene, rows, uv):
+    """Per-ray surface color: texture sample when the row has one, else
+    the row's solid albedo (reference: Surface::get_f, texture.rs:126-148).
+    """
+    materials = scene.materials
+    solid = materials.albedo[rows]                       # (N,4)
+    if scene.atlas is None:
+        return solid
+    tex = materials.tex[rows]
+    sampled = scene.atlas.sample(jnp.maximum(tex, 0), uv)
+    return jnp.where((tex >= 0)[:, None], sampled, solid)
+
+
+def emitted(scene, hits, sampler):
+    """Per-ray emission (reference: Hit::emit -> Material::emit).
+
+    Mix rows re-roll their branch with a fresh draw, independent of the
+    scatter draw, matching material.rs:410-416.
+    """
+    materials = scene.materials
+    mix_u = [sampler.next1() for _ in range(T.MAX_MIX_DEPTH)]
+    rows = resolve_mix(materials, hits.material, mix_u)
+    is_light = materials.mtype[rows] == T.DIFFUSE_LIGHT
+    e = materials.emit[rows] * is_light[:, None].astype(jnp.float32)
+    return jnp.where(hits.hit[:, None], e, 0.0)
+
+
+def _schlick(cos_theta, refraction_ratio):
+    """Schlick reflectance (reference: material.rs:296-299)."""
+    r0 = ((1.0 - refraction_ratio) / (1.0 + refraction_ratio)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+
+
+def scatter(scene, hits, d_in, sampler):
+    """Batched Material::scatter over a wavefront.
+
+    Args:
+      scene: mrt.geometry.scene.Scene (for the material table + atlas).
+      hits:  Hits record (front-faced normals already set).
+      d_in:  (N,3) incoming ray directions (unnormalised).
+      sampler: mrt.math.rng.Sampler for this bounce.
+
+    Returns:
+      (attenuation (N,3), new_direction (N,3), scattered (N,) bool).
+      Rays whose material absorbs (metal below horizon, lights, null) get
+      scattered=False.
+    """
+    materials = scene.materials
+    n = hits.material.shape[0]
+    normal = hits.normal
+
+    mix_u = [sampler.next1() for _ in range(T.MAX_MIX_DEPTH)]
+    rows = resolve_mix(materials, hits.material, mix_u)
+    mtype = materials.mtype[rows]
+
+    # Shared random draws (each class consumes what it needs).
+    u1, u2, u3, u_fresnel = sampler.next4()
+    unit_sphere = sampling.in_unit_sphere(u1, u2, u3)        # (N,3)
+    rand_unit = sampling.unit_vector(u1, u2)                 # (N,3)
+    unit_d = vec.unit(d_in)
+
+    rgba = surface_rgba(scene, rows, hits.uv)
+    albedo = rgba[..., :3]
+
+    # --- Lambertian (material.rs:204-220) ---------------------------------
+    lam_dir = normal + rand_unit
+    lam_dir = jnp.where(vec.near_zero(lam_dir)[:, None], normal, lam_dir)
+
+    # --- Metal (material.rs:261-284) --------------------------------------
+    fuzz = materials.fuzz[rows]
+    metal_dir = vec.reflect(unit_d, normal) + unit_sphere * fuzz[:, None]
+    metal_ok = vec.dot(metal_dir, normal) > 0.0
+
+    # --- Dielectric / Specular shared Fresnel (material.rs:302-329) -------
+    ior = materials.ior[rows]
+    refraction_ratio = jnp.where(hits.front_face, 1.0 / ior, ior)
+    cos_theta = jnp.minimum(vec.dot(-unit_d, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = refraction_ratio * sin_theta > 1.0
+    reflect_choice = cannot_refract | (
+        _schlick(cos_theta, refraction_ratio) > u_fresnel)
+    refl_dir = vec.reflect(unit_d, normal)
+    refr_dir = vec.refract(unit_d, normal, refraction_ratio)
+    diel_dir = jnp.where(reflect_choice[:, None], refl_dir, refr_dir)
+
+    # --- Specular: reflect w/ attenuation 1, else inner Lambertian --------
+    spec_dir = jnp.where(reflect_choice[:, None], refl_dir, lam_dir)
+    spec_atten = jnp.where(reflect_choice[:, None],
+                           jnp.ones_like(albedo), albedo)
+
+    # --- Select by class --------------------------------------------------
+    one = jnp.ones_like(albedo)
+    is_lam = mtype == T.LAMBERTIAN
+    is_metal = mtype == T.METAL
+    is_diel = mtype == T.DIELECTRIC
+    is_iso = mtype == T.ISOTROPIC
+    is_spec = mtype == T.SPECULAR
+
+    sel = lambda m, x, y: jnp.where(m[:, None], x, y)
+    new_dir = sel(is_lam, lam_dir,
+                  sel(is_metal, metal_dir,
+                      sel(is_diel, diel_dir,
+                          sel(is_iso, unit_sphere,
+                              sel(is_spec, spec_dir, normal)))))
+    atten = sel(is_lam, albedo,
+                sel(is_metal, albedo,
+                    sel(is_diel, one,
+                        sel(is_iso, albedo,
+                            sel(is_spec, spec_atten, one)))))
+
+    scattered = hits.hit & (
+        is_lam | is_diel | is_iso | is_spec | (is_metal & metal_ok))
+    return atten, new_dir, scattered
+
+
+def alpha_test(scene, rows, uv, sampler):
+    """Material::alpha_test over a wavefront (material.rs:24-26,222-225).
+
+    True = keep the hit.  Textured Lambertian/Metal/Specular rows test the
+    sampled alpha != 0; everything else passes.  Mix re-rolls.
+    """
+    materials = scene.materials
+    mix_u = [sampler.next1() for _ in range(T.MAX_MIX_DEPTH)]
+    rows = resolve_mix(materials, rows, mix_u)
+    rgba = surface_rgba(scene, rows, uv)
+    mtype = materials.mtype[rows]
+    tests_alpha = ((mtype == T.LAMBERTIAN) | (mtype == T.METAL)
+                   | (mtype == T.SPECULAR))
+    return ~tests_alpha | (rgba[..., 3] != 0.0)

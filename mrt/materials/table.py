@@ -1,0 +1,127 @@
+"""SoA material table.
+
+The reference dispatches materials through `&dyn Material`
+(src/material.rs:15-27).  Here every material in a scene is a row in a
+flat table; a hit carries a row index, and shading evaluates all material
+classes branch-free on the VPU and masks by type (see mrt.materials.shade).
+
+Material classes (mirroring the reference inventory, src/material.rs):
+    LAMBERTIAN     cosine-ish scatter, albedo from surface (mat.rs:192-225)
+    METAL          mirror + fuzz, absorbs below-horizon    (mat.rs:248-284)
+    DIELECTRIC     stochastic Fresnel reflect/refract      (mat.rs:286-329)
+    DIFFUSE_LIGHT  no scatter, constant emission           (mat.rs:227-246)
+    ISOTROPIC      uniform-ball scatter (volumes)          (mat.rs:428-445)
+    SPECULAR       Fresnel-gated clear coat over Lambertian(mat.rs:331-383)
+    MIX            stochastic blend of two table rows      (mat.rs:391-426)
+    NULL           never scatters (the `()` material,       mat.rs:385-389)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+LAMBERTIAN = 0
+METAL = 1
+DIELECTRIC = 2
+DIFFUSE_LIGHT = 3
+ISOTROPIC = 4
+SPECULAR = 5
+MIX = 6
+NULL = 7
+
+# Maximum depth of nested Mix materials resolved per event.  The reference
+# supports arbitrary nesting via recursion; in practice scenes nest <= 2
+# (e.g. eve.rs Mix(Lambertian, Specular)).
+MAX_MIX_DEPTH = 4
+
+NO_TEXTURE = -1
+
+
+@struct.dataclass
+class MaterialTable:
+    mtype: jnp.ndarray      # (M,)  int32, one of the class ids above
+    albedo: jnp.ndarray     # (M,4) rgba solid color (a drives alpha_test)
+    tex: jnp.ndarray        # (M,)  int32 texture id, NO_TEXTURE for solid
+    fuzz: jnp.ndarray       # (M,)  metal fuzz (clamped <= 1 at build)
+    ior: jnp.ndarray        # (M,)  refraction index (dielectric/specular)
+    emit: jnp.ndarray       # (M,3) emission (diffuse light)
+    mix_ratio: jnp.ndarray  # (M,)  P(choose left) for MIX rows
+    mix_left: jnp.ndarray   # (M,)  int32 table row
+    mix_right: jnp.ndarray  # (M,)  int32 table row
+
+    @property
+    def count(self):
+        return self.mtype.shape[0]
+
+
+class MaterialBuilder:
+    """Host-side accumulator producing a MaterialTable.
+
+    Every add_* returns the integer row id used by geometry.
+    """
+
+    def __init__(self):
+        self._rows = []
+
+    def _add(self, mtype, albedo=(0, 0, 0, 1), tex=NO_TEXTURE, fuzz=0.0,
+             ior=1.0, emit=(0, 0, 0), mix_ratio=0.0, mix_left=0,
+             mix_right=0):
+        self._rows.append(dict(
+            mtype=mtype, albedo=tuple(albedo), tex=tex, fuzz=fuzz, ior=ior,
+            emit=tuple(emit), mix_ratio=mix_ratio, mix_left=mix_left,
+            mix_right=mix_right))
+        return len(self._rows) - 1
+
+    def lambertian(self, albedo=(1.0, 1.0, 1.0, 1.0), tex=NO_TEXTURE):
+        albedo = tuple(albedo) + (1.0,) * (4 - len(tuple(albedo)))
+        return self._add(LAMBERTIAN, albedo=albedo, tex=tex)
+
+    def metal(self, fuzz=0.0, albedo=(1.0, 1.0, 1.0, 1.0), tex=NO_TEXTURE):
+        albedo = tuple(albedo) + (1.0,) * (4 - len(tuple(albedo)))
+        # Reference clamps fuzz at construction (material.rs:255-258).
+        return self._add(METAL, albedo=albedo, tex=tex, fuzz=min(fuzz, 1.0))
+
+    def dielectric(self, refraction_index):
+        return self._add(DIELECTRIC, ior=refraction_index)
+
+    def diffuse_light(self, emit):
+        return self._add(DIFFUSE_LIGHT, emit=tuple(emit))
+
+    def isotropic(self, albedo):
+        albedo = tuple(albedo) + (1.0,) * (4 - len(tuple(albedo)))
+        return self._add(ISOTROPIC, albedo=albedo)
+
+    def specular(self, refraction_index, albedo=(1.0, 1.0, 1.0, 1.0),
+                 tex=NO_TEXTURE):
+        albedo = tuple(albedo) + (1.0,) * (4 - len(tuple(albedo)))
+        return self._add(SPECULAR, albedo=albedo, tex=tex,
+                         ior=refraction_index)
+
+    def mix(self, ratio, left, right):
+        return self._add(MIX, mix_ratio=ratio, mix_left=left,
+                         mix_right=right)
+
+    def null(self):
+        return self._add(NULL)
+
+    def build(self) -> MaterialTable:
+        rows = self._rows or [dict(
+            mtype=NULL, albedo=(0, 0, 0, 1), tex=NO_TEXTURE, fuzz=0.0,
+            ior=1.0, emit=(0, 0, 0), mix_ratio=0.0, mix_left=0,
+            mix_right=0)]
+        f32 = np.float32
+        return MaterialTable(
+            mtype=jnp.asarray([r["mtype"] for r in rows], jnp.int32),
+            albedo=jnp.asarray(np.array([r["albedo"] for r in rows], f32)),
+            tex=jnp.asarray([r["tex"] for r in rows], jnp.int32),
+            fuzz=jnp.asarray(np.array([r["fuzz"] for r in rows], f32)),
+            ior=jnp.asarray(np.array([r["ior"] for r in rows], f32)),
+            emit=jnp.asarray(np.array([r["emit"] for r in rows], f32)),
+            mix_ratio=jnp.asarray(
+                np.array([r["mix_ratio"] for r in rows], f32)),
+            mix_left=jnp.asarray([r["mix_left"] for r in rows], jnp.int32),
+            mix_right=jnp.asarray(
+                [r["mix_right"] for r in rows], jnp.int32),
+        )

@@ -1,0 +1,76 @@
+"""The render driver: progressive sample loop over jitted passes.
+
+Replaces the reference's `render()` thread fan-out (reference:
+src/main.rs:150-295): where the reference gives each CPU thread a private
+whole-frame 1-spp pass and merges under a mutex, here one jitted program
+renders a batch of spp and accumulation is pure addition on device.  The
+multi-chip version in `mrt.parallel` shards the same pass over a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..integrator import wavefront, aov
+from .film import Film
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "samples"))
+def render_pass(scene, camera, film: Film, seed, sample_start, *,
+                width, height, max_depth=wavefront.MAX_DEPTH, samples=1):
+    """Render `samples` 1-spp frames and merge into the film.
+
+    The spp loop is a `lax.fori_loop` so any sample count compiles to one
+    program; each iteration is an independent, schedule-invariant sample
+    (decorrelated by sample index, like the reference's per-thread passes,
+    main.rs:251-264).
+    """
+    def body(i, film):
+        radiance, bounces = wavefront.render_sample(
+            scene, camera, width, height, seed, sample_start + i,
+            max_depth=max_depth)
+        return film.merge(radiance, bounces)
+
+    return jax.lax.fori_loop(0, samples, body, film)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def aov_pass(scene, camera, *, width, height, seed=0):
+    """The albedo/normal guide pre-pass (reference: main.rs:167-222)."""
+    return aov.albedo_normal_frame(scene, camera, width, height, seed=seed)
+
+
+def render(scene, camera, width, height, spp=64, seed=1,
+           max_depth=wavefront.MAX_DEPTH, samples_per_pass=None,
+           with_aov=False, film=None, progress=None):
+    """Progressive render to `spp` total samples.
+
+    Args:
+      samples_per_pass: spp chunk per device program (None = all at once).
+      film: resume from an existing film (checkpointed state).
+      progress: optional callback(film) after each pass.
+
+    Returns the accumulated Film.
+    """
+    if film is None:
+        film = Film.create(width, height)
+    if with_aov:
+        albedo, normal = aov_pass(scene, camera, width=width, height=height,
+                                  seed=seed)
+        film = film.with_aov(albedo, normal)
+
+    chunk = samples_per_pass or spp
+    done = int(film.samples)
+    while done < spp:
+        step = min(chunk, spp - done)
+        film = render_pass(scene, camera, film, seed, done,
+                           width=width, height=height, max_depth=max_depth,
+                           samples=step)
+        done += step
+        if progress is not None:
+            progress(film)
+    return film
