@@ -1,0 +1,224 @@
+"""Bounding volume hierarchy: host build + stackless wavefront traversal.
+
+The reference builds a binary BVH by sorting objects on a *random* axis
+and splitting at the median, recursing to 1-2 object leaves
+(reference: src/geom.rs:109-162), and traverses it recursively with
+t_max shrinking (geom.rs:185-200).  Recursion and pointer-chasing don't
+map to TPUs, so this module:
+
+  * builds on host (numpy, iterative) with a *deterministic* widest-axis
+    median split (reproducible builds; SURVEY §7) and LEAF_SIZE=4,
+  * flattens depth-first with **escape indices**: node i's subtree is
+    skipped by jumping to escape[i], so traversal is a single loop with
+    no stack — each ray carries just its current node index,
+  * traverses a whole wavefront per step in a `lax.while_loop`: gather
+    node AABBs by per-ray index, slab-test, advance to i+1 (hit,
+    internal) or escape[i] (miss/leaf-done), and test the 4 triangles of
+    hit leaves inline (masked), shrinking per-ray best-t exactly like
+    the reference's closest_so_far.
+
+Triangles are reordered at build so leaf primitives are contiguous.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .hit import INF
+from .triangles import Triangles, DET_EPS
+
+LEAF_SIZE = 4
+
+
+@struct.dataclass
+class FlatBVH:
+    bmin: jnp.ndarray    # (M,3)
+    bmax: jnp.ndarray    # (M,3)
+    first: jnp.ndarray   # (M,) first triangle (leaves) / 0
+    count: jnp.ndarray   # (M,) triangle count; 0 => internal node
+    escape: jnp.ndarray  # (M,) node index to jump to when skipping
+
+    @property
+    def n_nodes(self):
+        return self.bmin.shape[0]
+
+
+def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
+    """Build a flattened BVH over primitives on host.
+
+    Args:
+      centroids: (T,3) primitive centroids.
+      bounds_min/bounds_max: (T,3) primitive AABBs.
+    Returns:
+      (FlatBVH arrays as numpy, order) where `order` is the permutation
+      to apply to primitive arrays so leaves are contiguous.
+    """
+    t = centroids.shape[0]
+    centroids = np.asarray(centroids, np.float64)
+    bounds_min = np.asarray(bounds_min, np.float64)
+    bounds_max = np.asarray(bounds_max, np.float64)
+
+    order = np.arange(t)
+    # Worst case 2*ceil(t/leaf... ) nodes; collect then flatten.
+    nodes = []  # (bmin, bmax, first|-1, count, left_child, right_child)
+
+    # Recursion via explicit stack: (slice_start, slice_end, parent_slot)
+    # Children are placed depth-first: left subtree immediately follows
+    # the parent, so flattening is the identity and escape indices can be
+    # computed as "index after my subtree".
+    def build_range(start, end):
+        """Returns node index of the subtree root for order[start:end]."""
+        idx = len(nodes)
+        prim = order[start:end]
+        bmin = bounds_min[prim].min(axis=0)
+        bmax = bounds_max[prim].max(axis=0)
+        n = end - start
+        if n <= leaf_size:
+            nodes.append([bmin, bmax, start, n, -1])
+            return idx
+        c = centroids[prim]
+        axis = int(np.argmax(bmax - bmin))
+        key = np.argsort(c[:, axis], kind="stable")
+        order[start:end] = prim[key]
+        mid = start + n // 2
+        nodes.append([bmin, bmax, 0, 0, -1])
+        build_range(start, mid)
+        build_range(mid, end)
+        nodes[idx][4] = len(nodes)  # escape = index after my subtree
+        return idx
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * int(np.log2(max(t, 2)) + 2) * 64))
+    try:
+        build_range(0, t)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    m = len(nodes)
+    bmin = np.stack([n[0] for n in nodes]).astype(np.float32)
+    bmax = np.stack([n[1] for n in nodes]).astype(np.float32)
+    first = np.array([n[2] for n in nodes], np.int32)
+    count = np.array([n[3] for n in nodes], np.int32)
+    escape = np.array([n[4] if n[4] >= 0 else i + 1
+                       for i, n in enumerate(nodes)], np.int32)
+    # Leaves' escape is the next node in DFS order; the last node escapes
+    # to m (done sentinel).
+    return (bmin, bmax, first, count, escape), order
+
+
+def build_over_triangles(tris: Triangles, leaf_size=LEAF_SIZE):
+    """Build a BVH over a Triangles set; returns (FlatBVH, reordered
+    Triangles)."""
+    va = np.asarray(tris.va)
+    vb = va + np.asarray(tris.e_ab)
+    vc = va + np.asarray(tris.e_ac)
+    bmin = np.minimum(np.minimum(va, vb), vc)
+    bmax = np.maximum(np.maximum(va, vb), vc)
+    cent = (va + vb + vc) / 3.0
+    (nb_min, nb_max, first, count, escape), order = build(
+        cent, bmin, bmax, leaf_size)
+
+    perm = jnp.asarray(order)
+    reordered = jax.tree.map(lambda x: x[perm], tris)
+    bvh = FlatBVH(bmin=jnp.asarray(nb_min), bmax=jnp.asarray(nb_max),
+                  first=jnp.asarray(first), count=jnp.asarray(count),
+                  escape=jnp.asarray(escape))
+    return bvh, reordered
+
+
+def _slab_test(bmin, bmax, o, inv_d, t_min, t_max):
+    """AABB slab intersection (reference: geom.rs:218-247), batched.
+
+    bmin/bmax/o/inv_d: (N,3); returns (N,) bool.
+    """
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    near = jnp.maximum(jnp.max(lo, axis=-1), t_min)
+    far = jnp.minimum(jnp.min(hi, axis=-1), t_max)
+    return near <= far
+
+
+def intersect_bvh_tris(tris: Triangles, bvh: FlatBVH, o, d, t_min, t_max):
+    """Closest triangle hit via stackless BVH traversal.
+
+    Returns (t, index, u, v) per ray like triangles.nearest_hit.
+    """
+    n = o.shape[0]
+    m = bvh.n_nodes
+    inv_d = 1.0 / d
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    od = jnp.sum(o * d, axis=-1)  # varying-typed seed for carry inits
+    state = (
+        jnp.zeros_like(od, dtype=jnp.int32),   # node index
+        jnp.full_like(od, INF),                # best t
+        jnp.zeros_like(od, dtype=jnp.int32),   # best triangle
+        jnp.zeros_like(od),                    # best u
+        jnp.zeros_like(od),                    # best v
+    )
+
+    def cond(state):
+        node, *_ = state
+        return jnp.any(node < m)
+
+    def step(state):
+        node, best_t, best_i, best_u, best_v = state
+        active = node < m
+        ni = jnp.minimum(node, m - 1)
+
+        hit_box = _slab_test(bvh.bmin[ni], bvh.bmax[ni], o, inv_d,
+                             t_min, jnp.minimum(best_t, t_max)) & active
+        count = bvh.count[ni]
+        first = bvh.first[ni]
+        is_leaf = count > 0
+
+        # Leaf: test up to LEAF_SIZE contiguous triangles (masked).
+        do_test = hit_box & is_leaf
+        for j in range(LEAF_SIZE):
+            ti = jnp.minimum(first + j, tris.count - 1)
+            valid = do_test & (j < count)
+            ab = tris.e_ab[ti]
+            ac = tris.e_ac[ti]
+            va = tris.va[ti]
+            p = jnp.cross(d, ac)
+            det = jnp.sum(ab * p, axis=-1)
+            inv_det = 1.0 / det
+            tv = o - va
+            u = jnp.sum(tv * p, axis=-1) * inv_det
+            q = jnp.cross(tv, ab)
+            v = jnp.sum(d * q, axis=-1) * inv_det
+            t = jnp.sum(ac * q, axis=-1) * inv_det
+            ok = (valid
+                  & (jnp.abs(det) >= DET_EPS)
+                  & (u >= 0.0) & (u <= 1.0)
+                  & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= t_min)
+                  & (t <= jnp.minimum(best_t, t_max)))
+            best_i = jnp.where(ok, ti, best_i)
+            best_u = jnp.where(ok, u, best_u)
+            best_v = jnp.where(ok, v, best_v)
+            best_t = jnp.where(ok, t, best_t)
+
+        # Advance: into the subtree on internal hit, else skip it.
+        next_node = jnp.where(hit_box & ~is_leaf, ni + 1, bvh.escape[ni])
+        node = jnp.where(active, next_node, node)
+        return node, best_t, best_i, best_u, best_v
+
+    _, best_t, best_i, best_u, best_v = jax.lax.while_loop(
+        cond, step, state)
+    return best_t, best_i, best_u, best_v
+
+
+def intersect_bvh(tris: Triangles, bvh: FlatBVH, o, d, t_min, t_max,
+                  scene=None):
+    """Hits-producing wrapper used by Scene.intersect."""
+    from .triangles import make_hits
+
+    t, i, u, v = intersect_bvh_tris(tris, bvh, o, d, t_min, t_max)
+    return make_hits(tris, o, d, t, i, u, v)

@@ -1,0 +1,315 @@
+"""Instanced meshes: a two-level BVH (TLAS over BLAS) in one stackless loop.
+
+The reference's `Model` wraps a triangle BVH behind an `Arc` and
+`Instance` adds a TRS transform + inverse, intersecting by warping the
+ray into object space and the hit back out
+(reference: src/geom.rs:275-425).  A `Model` with a material override is
+an identity-transform instance here (geom.rs:317-333 override semantics:
+the hit's material row is replaced).
+
+TPU design: all meshes' BVH node and triangle arrays are concatenated
+("mega-BLAS"); a top-level BVH (TLAS) is built over instance world-space
+AABBs with 1 instance per leaf.  A wavefront of rays traverses both
+levels in a single `lax.while_loop`: each ray carries
+  (level, node, resume, instance, o_local, d_local)
+where entering a TLAS leaf warps the ray by the instance's inverse
+transform (geom.rs:404-407) and jumps to the instance mesh's BLAS root;
+finishing a BLAS jumps back to the saved TLAS resume node.  Hit t values
+are affine-invariant, so best-t shrinks globally across instances just
+like the reference's closest_so_far.
+
+Winners are transformed back to world space: point by the forward
+transform, normal by the forward linear part then renormalised — the
+reference uses the same (not inverse-transpose) convention
+(geom.rs:410-414), so nonuniform-scale normals match it exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .hit import Hits, set_face_normal, INF
+from .triangles import Triangles, DET_EPS
+from . import bvh as bvh_mod
+from .bvh import FlatBVH, _slab_test, LEAF_SIZE
+
+
+@struct.dataclass
+class TLAS:
+    # Top level (over instances; 1 instance per leaf)
+    t_bmin: jnp.ndarray     # (Mt,3)
+    t_bmax: jnp.ndarray     # (Mt,3)
+    t_inst: jnp.ndarray     # (Mt,) instance id for leaves, -1 internal
+    t_escape: jnp.ndarray   # (Mt,)
+    # Instances
+    transform: jnp.ndarray      # (I,4,4) object->world
+    inv_transform: jnp.ndarray  # (I,4,4)
+    override: jnp.ndarray       # (I,) material row, -1 = keep triangle's
+    blas_root: jnp.ndarray      # (I,) global BLAS node index
+    blas_end: jnp.ndarray       # (I,) global BLAS end index
+    # Mega-BLAS (all meshes concatenated)
+    bmin: jnp.ndarray       # (Mb,3)
+    bmax: jnp.ndarray       # (Mb,3)
+    first: jnp.ndarray      # (Mb,) global triangle index
+    count: jnp.ndarray      # (Mb,)
+    escape: jnp.ndarray     # (Mb,) global node index
+    tris: Triangles         # concatenated, BVH-ordered
+
+    @property
+    def n_tlas_nodes(self):
+        return self.t_bmin.shape[0]
+
+
+class MeshRegistry:
+    """Host-side accumulator: register meshes once, instance them many
+    times (the reference's `Arc<BvhNode>` sharing, geom.rs:312-314)."""
+
+    def __init__(self):
+        self._meshes = []       # list[(FlatBVH-np, Triangles)]
+        self._instances = []    # list[dict]
+
+    def add_mesh(self, tris: Triangles, leaf_size=LEAF_SIZE) -> int:
+        bvh, reordered = bvh_mod.build_over_triangles(tris, leaf_size)
+        self._meshes.append((bvh, reordered))
+        return len(self._meshes) - 1
+
+    def add_instance(self, mesh_id, translation=(0, 0, 0),
+                     rotation=(0, 0, 0), scale=(1, 1, 1), material=None):
+        """rotation in turns, like the reference (math.rs:184-215)."""
+        self._instances.append(dict(
+            mesh=mesh_id,
+            translation=np.asarray(translation, np.float32),
+            rotation=np.asarray(np.broadcast_to(rotation, (3,)), np.float32),
+            scale=np.asarray(np.broadcast_to(scale, (3,)), np.float32),
+            material=-1 if material is None else int(material)))
+        return len(self._instances) - 1
+
+    def build(self) -> TLAS:
+        from ..math import m4
+
+        if not self._instances:
+            raise ValueError("no instances registered")
+
+        # Concatenate BLAS arrays with offsets.
+        node_off, tri_off = [], []
+        bmins, bmaxs, firsts, counts, escapes = [], [], [], [], []
+        tris_list = []
+        n_nodes = n_tris = 0
+        for bvh, tris in self._meshes:
+            node_off.append(n_nodes)
+            tri_off.append(n_tris)
+            bmins.append(np.asarray(bvh.bmin))
+            bmaxs.append(np.asarray(bvh.bmax))
+            firsts.append(np.asarray(bvh.first) + n_tris)
+            counts.append(np.asarray(bvh.count))
+            escapes.append(np.asarray(bvh.escape) + n_nodes)
+            tris_list.append(tris)
+            n_nodes += bvh.n_nodes
+            n_tris += tris.count
+
+        tris = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *tris_list)
+
+        # Per-instance transforms + world AABBs from the 8 transformed
+        # corners of the mesh root box (geom.rs:369-381).
+        n_inst = len(self._instances)
+        fwd = np.zeros((n_inst, 4, 4), np.float32)
+        inv = np.zeros((n_inst, 4, 4), np.float32)
+        override = np.zeros((n_inst,), np.int32)
+        roots = np.zeros((n_inst,), np.int32)
+        ends = np.zeros((n_inst,), np.int32)
+        w_min = np.zeros((n_inst, 3), np.float32)
+        w_max = np.zeros((n_inst, 3), np.float32)
+        for i, inst in enumerate(self._instances):
+            mesh = inst["mesh"]
+            f = np.asarray(m4.trs(inst["translation"], inst["rotation"],
+                                  inst["scale"]))
+            b = np.asarray(m4.trs_inverse(inst["translation"],
+                                          inst["rotation"], inst["scale"]))
+            fwd[i], inv[i] = f, b
+            override[i] = inst["material"]
+            roots[i] = node_off[mesh]
+            ends[i] = node_off[mesh] + self._meshes[mesh][0].n_nodes
+            root_min = np.asarray(self._meshes[mesh][0].bmin[0])
+            root_max = np.asarray(self._meshes[mesh][0].bmax[0])
+            corners = np.array([[root_min[0] if x == 0 else root_max[0],
+                                 root_min[1] if y == 0 else root_max[1],
+                                 root_min[2] if z == 0 else root_max[2]]
+                                for x in (0, 1) for y in (0, 1)
+                                for z in (0, 1)], np.float32)
+            wc = corners @ f[:3, :3].T + f[:3, 3]
+            w_min[i] = wc.min(axis=0)
+            w_max[i] = wc.max(axis=0)
+
+        # TLAS over instance boxes, one instance per leaf.
+        cent = (w_min + w_max) / 2.0
+        (t_bmin, t_bmax, t_first, t_count, t_escape), order = bvh_mod.build(
+            cent, w_min, w_max, leaf_size=1)
+        # Leaves reference reordered instances; map back to instance ids.
+        t_inst = np.where(t_count > 0, order[np.minimum(
+            t_first, n_inst - 1)], -1).astype(np.int32)
+
+        return TLAS(
+            t_bmin=jnp.asarray(t_bmin), t_bmax=jnp.asarray(t_bmax),
+            t_inst=jnp.asarray(t_inst), t_escape=jnp.asarray(t_escape),
+            transform=jnp.asarray(fwd), inv_transform=jnp.asarray(inv),
+            override=jnp.asarray(override), blas_root=jnp.asarray(roots),
+            blas_end=jnp.asarray(ends),
+            bmin=jnp.asarray(np.concatenate(bmins)),
+            bmax=jnp.asarray(np.concatenate(bmaxs)),
+            first=jnp.asarray(np.concatenate(firsts)),
+            count=jnp.asarray(np.concatenate(counts)),
+            escape=jnp.asarray(np.concatenate(escapes)),
+            tris=tris)
+
+
+def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:
+    """Closest hit over all instances for a wavefront of rays."""
+    n = o.shape[0]
+    mt = tlas.n_tlas_nodes
+    tris = tlas.tris
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    od = jnp.sum(o * d, axis=-1)
+    i32 = lambda v: jnp.full_like(od, v, dtype=jnp.int32)
+    state = (
+        i32(0),                    # node: TLAS index (inst<0) else BLAS
+        i32(-1),                   # inst: current instance, -1 = in TLAS
+        i32(mt),                   # resume: TLAS node after current BLAS
+        o, d,                      # local-space ray while inside a BLAS
+        jnp.full_like(od, INF),    # best t
+        i32(-1),                   # best instance
+        i32(0),                    # best triangle
+        jnp.zeros_like(od),        # best u
+        jnp.zeros_like(od),        # best v
+    )
+
+    def cond(s):
+        node, inst = s[0], s[1]
+        return jnp.any((inst >= 0) | (node < mt))
+
+    def step(s):
+        (node, inst, resume, o_l, d_l, best_t, best_inst, best_tri,
+         best_u, best_v) = s
+        in_blas = inst >= 0
+        lim = jnp.minimum(best_t, t_max)
+
+        # ---- TLAS step (rays with inst == -1) ---------------------------
+        t_active = ~in_blas & (node < mt)
+        t_ni = jnp.clip(node, 0, mt - 1)
+        t_hit = _slab_test(tlas.t_bmin[t_ni], tlas.t_bmax[t_ni], o,
+                           1.0 / d, t_min, lim) & t_active
+        leaf_inst = tlas.t_inst[t_ni]
+        t_is_leaf = leaf_inst >= 0
+        enter = t_hit & t_is_leaf
+
+        # Entering an instance: warp the ray into object space
+        # (geom.rs:404-407) and jump to its BLAS root.
+        e_inst = jnp.clip(leaf_inst, 0, tlas.transform.shape[0] - 1)
+        inv_t = tlas.inv_transform[e_inst]                   # (N,4,4)
+        o_enter = (jnp.einsum("nij,nj->ni", inv_t[:, :3, :3], o)
+                   + inv_t[:, :3, 3])
+        d_enter = jnp.einsum("nij,nj->ni", inv_t[:, :3, :3], d)
+
+        tlas_next = jnp.where(t_hit & ~t_is_leaf, t_ni + 1,
+                              tlas.t_escape[t_ni])
+
+        new_inst = jnp.where(enter, leaf_inst, inst)
+        new_resume = jnp.where(enter, tlas.t_escape[t_ni], resume)
+        new_node = jnp.where(t_active,
+                             jnp.where(enter, tlas.blas_root[e_inst],
+                                       tlas_next),
+                             node)
+        new_o = jnp.where(enter[:, None], o_enter, o_l)
+        new_d = jnp.where(enter[:, None], d_enter, d_l)
+
+        # ---- BLAS step (rays with inst >= 0) ----------------------------
+        b_end = tlas.blas_end[jnp.clip(inst, 0, None)]
+        b_active = in_blas
+        b_ni = jnp.clip(node, 0, tlas.bmin.shape[0] - 1)
+        b_hit = _slab_test(tlas.bmin[b_ni], tlas.bmax[b_ni], o_l,
+                           1.0 / d_l, t_min, lim) & b_active
+        count = tlas.count[b_ni]
+        first = tlas.first[b_ni]
+        b_is_leaf = count > 0
+        do_test = b_hit & b_is_leaf
+
+        bt, bi, bu, bv = best_t, best_tri, best_u, best_v
+        b_inst = best_inst
+        for j in range(LEAF_SIZE):
+            ti = jnp.clip(first + j, 0, tris.count - 1)
+            valid = do_test & (j < count)
+            ab = tris.e_ab[ti]
+            ac = tris.e_ac[ti]
+            va = tris.va[ti]
+            p = jnp.cross(d_l, ac)
+            det = jnp.sum(ab * p, axis=-1)
+            inv_det = 1.0 / det
+            tv = o_l - va
+            u = jnp.sum(tv * p, axis=-1) * inv_det
+            q = jnp.cross(tv, ab)
+            v = jnp.sum(d_l * q, axis=-1) * inv_det
+            t = jnp.sum(ac * q, axis=-1) * inv_det
+            ok = (valid & (jnp.abs(det) >= DET_EPS)
+                  & (u >= 0.0) & (u <= 1.0)
+                  & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= t_min) & (t <= jnp.minimum(bt, t_max)))
+            bi = jnp.where(ok, ti, bi)
+            bu = jnp.where(ok, u, bu)
+            bv = jnp.where(ok, v, bv)
+            b_inst = jnp.where(ok, inst, b_inst)
+            bt = jnp.where(ok, t, bt)
+
+        blas_next = jnp.where(b_hit & ~b_is_leaf, b_ni + 1,
+                              tlas.escape[b_ni])
+        exiting = b_active & (blas_next >= b_end)
+        new_node = jnp.where(b_active,
+                             jnp.where(exiting, resume, blas_next),
+                             new_node)
+        new_inst = jnp.where(exiting, -1, new_inst)
+
+        return (new_node, new_inst, new_resume, new_o, new_d,
+                bt, b_inst, bi, bu, bv)
+
+    (_, _, _, _, _, best_t, best_inst, best_tri, best_u,
+     best_v) = jax.lax.while_loop(cond, step, state)
+
+    # ---- expand winner ---------------------------------------------------
+    hit = jnp.isfinite(best_t)
+    inst = jnp.clip(best_inst, 0, None)
+    ti = best_tri
+    w = (1.0 - best_u - best_v)[:, None]
+    uu, vv = best_u[:, None], best_v[:, None]
+
+    normal_l = (tris.na[ti] * w + tris.nb[ti] * uu + tris.nc[ti] * vv)
+    uv = (tris.uva[ti] * w + tris.uvb[ti] * uu + tris.uvc[ti] * vv)
+    uv = jnp.where(tris.has_uv[ti][:, None], uv, 0.0)
+
+    fwd = tlas.transform[inst]
+    # World normal: forward linear part then unit (geom.rs:412 — the
+    # reference does not use the inverse-transpose; we match it).
+    normal_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3], normal_l)
+    norm = jnp.sqrt(jnp.sum(normal_w * normal_w, axis=-1, keepdims=True))
+    normal_w = normal_w / jnp.maximum(norm, 1e-20)
+
+    t_safe = jnp.where(hit, best_t, 0.0)
+    point = o + d * t_safe[:, None]  # t is affine-invariant
+
+    ov = tlas.override[inst]
+    material = jnp.where(ov >= 0, ov, tris.material[ti])
+
+    normal_w, front_face = set_face_normal(d, normal_w)
+    return Hits(
+        t=jnp.where(hit, best_t, INF),
+        point=point,
+        normal=normal_w,
+        front_face=front_face,
+        uv=uv,
+        material=material,
+        hit=hit,
+    )

@@ -1,43 +1,51 @@
 """The compiled scene: flat SoA arrays + a closest-hit dispatcher.
 
 Replaces the reference's `World { objects: Vec<Box<dyn Intersect>> }` and
-its linear closest-hit loop (src/world.rs:95-145).  A Scene is a pytree of
-typed primitive sets; `intersect` runs each set's batched kernel and folds
-results with a per-ray nearest-t select — the SPMD analogue of the
-reference's `closest_so_far` shrink loop.
+its linear closest-hit loop (reference: src/world.rs:95-145).  A Scene is
+a pytree of typed primitive sets; `intersect` runs each set's batched
+kernel and folds results with a per-ray nearest-t select — the SPMD
+analogue of the reference's `closest_so_far` shrink loop.
 
 Primitive sets are optional (None == absent); their presence is static so
 each scene shape compiles its own specialised program.
+
+`SceneBuilder` is the host-side `World` equivalent: add spheres, meshes,
+instances and volumes, then `build()` the device arrays (world.rs:109-123
+add/build_bvh).
 """
 
 from __future__ import annotations
 
 from typing import Any, Optional
 
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
 from . import spheres as sphere_mod
 from .hit import Hits
-from ..materials.table import MaterialTable
 
-T_MIN = 1e-3  # reference: world.rs:68 / main.rs — intersect(ray, 0.001, inf)
+T_MIN = 1e-3  # reference: world.rs:68 — intersect(ray, 0.001, inf)
 
 
 @struct.dataclass
 class Scene:
-    materials: MaterialTable
+    materials: Any                         # materials.table.MaterialTable
     background: Any
     spheres: Optional[sphere_mod.Spheres] = None
     triangles: Optional[Any] = None        # geometry.triangles.Triangles
     bvh: Optional[Any] = None              # geometry.bvh.FlatBVH
     tlas: Optional[Any] = None             # geometry.instance.TLAS
+    volumes: Optional[Any] = None          # geometry.volumes.VolumeSpheres
     atlas: Optional[Any] = None            # textures.atlas.TextureAtlas
 
-    def intersect(self, o, d, t_min=T_MIN, t_max=jnp.inf) -> Hits:
+    def intersect(self, o, d, t_min=T_MIN, t_max=jnp.inf,
+                  sampler=None) -> Hits:
         """Closest hit of each ray against every primitive set.
 
-        o, d: (N, 3). Returns a Hits record of length N.
+        o, d: (N, 3).  `sampler` feeds stochastic intersections (volume
+        free-flight, geom.rs:640); scenes with volumes require it.
+        Returns a Hits record of length N.
         """
         hits = Hits.none(o.shape[0])
         if self.spheres is not None:
@@ -46,7 +54,8 @@ class Scene:
         if self.triangles is not None:
             from . import triangles as tri_mod  # local: avoid import cycle
             if self.bvh is not None:
-                hits = hits.closer_of(tri_mod.intersect_bvh(
+                from . import bvh as bvh_mod
+                hits = hits.closer_of(bvh_mod.intersect_bvh(
                     self.triangles, self.bvh, o, d, t_min, t_max,
                     scene=self))
             else:
@@ -56,7 +65,116 @@ class Scene:
             from . import instance as inst_mod
             hits = hits.closer_of(inst_mod.intersect_tlas(
                 self.tlas, o, d, t_min, t_max, scene=self))
+        if self.volumes is not None:
+            from . import volumes as vol_mod
+            if sampler is None:
+                raise ValueError("scene has volumes: intersect needs a "
+                                 "sampler for free-flight randomness")
+            v = self.volumes.count
+            u = jnp.stack([sampler.next1() for _ in range(v)], axis=-1)
+            hits = hits.closer_of(vol_mod.intersect(
+                self.volumes, o, d, t_min, t_max, u))
         return hits
 
     def background_eval(self, d):
         return self.background.eval(d, atlas=self.atlas)
+
+
+class SceneBuilder:
+    """Host-side accumulator mirroring the reference's World + Model
+    pattern (world.rs:109-115, geom.rs:281-314)."""
+
+    def __init__(self, materials, background, atlas=None):
+        """materials: a MaterialBuilder (still open for volume mats)."""
+        self._materials = materials
+        self._background = background
+        self._atlas = atlas
+        self._sphere_rows = []
+        self._registry = None
+        self._tri_groups = []
+        self._volumes = []
+
+    def _ensure_registry(self):
+        if self._registry is None:
+            from .instance import MeshRegistry
+            self._registry = MeshRegistry()
+        return self._registry
+
+    def add_sphere(self, center, radius, material):
+        self._sphere_rows.append((tuple(center), float(radius),
+                                  int(material)))
+
+    def add_mesh(self, tris):
+        """Register a mesh for instancing; returns mesh id
+        (the reference's Model::new, geom.rs:281-292)."""
+        return self._ensure_registry().add_mesh(tris)
+
+    def add_instance(self, mesh_id, translation=(0, 0, 0),
+                     rotation=(0, 0, 0), scale=(1, 1, 1), material=None):
+        """Place an instance (geom.rs:312-314,344); rotation in turns."""
+        return self._ensure_registry().add_instance(
+            mesh_id, translation, rotation, scale, material)
+
+    def add_model(self, tris, material=None):
+        """Non-instanced mesh == identity-transform instance
+        (geom.rs:317-333)."""
+        mesh = self.add_mesh(tris)
+        return self.add_instance(mesh, material=material)
+
+    def add_triangles(self, tris_list):
+        """Small triangle sets intersected brute-force, no BVH."""
+        self._tri_groups.append(tris_list)
+
+    def add_volume_sphere(self, center, radius, density, albedo):
+        """Fog volume bounded by a sphere (geom.rs:601-608 +
+        scenes/eve.rs:33-45)."""
+        mat = self._materials.isotropic(tuple(albedo))
+        self._volumes.append((tuple(center), float(radius),
+                              -1.0 / float(density), mat))
+
+    def build(self) -> Scene:
+        import jax
+
+        spheres = None
+        if self._sphere_rows:
+            spheres = sphere_mod.Spheres(
+                center=jnp.asarray(
+                    np.array([r[0] for r in self._sphere_rows],
+                             np.float32)),
+                radius=jnp.asarray(
+                    np.array([r[1] for r in self._sphere_rows],
+                             np.float32)),
+                material=jnp.asarray(
+                    np.array([r[2] for r in self._sphere_rows], np.int32)))
+
+        triangles = None
+        if self._tri_groups:
+            triangles = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *self._tri_groups)
+
+        tlas = None
+        if self._registry is not None and self._registry._instances:
+            tlas = self._registry.build()
+
+        volumes = None
+        if self._volumes:
+            from .volumes import VolumeSpheres
+            volumes = VolumeSpheres(
+                center=jnp.asarray(
+                    np.array([v[0] for v in self._volumes], np.float32)),
+                radius=jnp.asarray(
+                    np.array([v[1] for v in self._volumes], np.float32)),
+                neg_inv_density=jnp.asarray(
+                    np.array([v[2] for v in self._volumes], np.float32)),
+                material=jnp.asarray(
+                    np.array([v[3] for v in self._volumes], np.int32)))
+
+        return Scene(
+            materials=self._materials.build(),
+            background=self._background,
+            spheres=spheres,
+            triangles=triangles,
+            tlas=tlas,
+            volumes=volumes,
+            atlas=self._atlas,
+        )

@@ -23,7 +23,8 @@ def albedo_normal(scene, o, d, ray_id, seed):
       hit & absorbs    -> (emitted, hit normal)
       miss             -> (background, zero)
     """
-    hits = scene.intersect(o, d, t_min=T_MIN)
+    vol_sampler = Sampler(seed, ray_id, salt=0xA06)
+    hits = scene.intersect(o, d, t_min=T_MIN, sampler=vol_sampler)
     em_sampler = Sampler(seed, ray_id, salt=0xA07)
     sc_sampler = Sampler(seed, ray_id, salt=0xA08)
     emitted = shade.emitted(scene, hits, em_sampler)

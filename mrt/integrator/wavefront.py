@@ -52,10 +52,11 @@ def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH):
     def bounce(carry):
         b, state = carry
         o, d, throughput, radiance, alive, bounces = state
-        hits = scene.intersect(o, d, t_min=T_MIN)
-
-        # Per-bounce sampler: every draw is a pure function of
+        # Per-bounce samplers: every draw is a pure function of
         # (seed, ray_id, bounce), so results are schedule-invariant.
+        vol_sampler = Sampler(seed, ray_id, salt=3 * b + 2)
+        hits = scene.intersect(o, d, t_min=T_MIN, sampler=vol_sampler)
+
         em_sampler = Sampler(seed, ray_id, salt=3 * b)
         sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
 
