@@ -1,0 +1,220 @@
+"""Texture atlas: all surfaces in one flat buffer, sampled by gathers.
+
+The reference's `Surface` trait family (reference: src/texture.rs) is a
+tree of trait objects sampled per-ray.  On TPU every texture's pixels
+live in one flat (P,4) array; a texture id indexes SoA row metadata
+(offset/size/wrap/kind) and `sample(ids, uv)` bilinearly samples a whole
+wavefront with gathers.
+
+Combinators are rows too, resolved branch-free with ONE level of
+indirection (their children must be RAW rows — true of every reference
+composition, e.g. eve.rs:342-364):
+  RAW       pixels, bilinear + wrap       (texture.rs:126-148)
+  BLEND     Lighten/Darken/Add/Sub of two children (texture.rs:250-334)
+  YCBCR     luma + chroma children -> BT.709 YUV -> clamp -> gamma 2.2
+                                                  (texture.rs:196-248)
+  FALLBACK  alpha-composite child over a solid     (texture.rs:336-360)
+
+Bilinear matches the reference exactly: uv wrapped first, scaled by
+(size-1), floor/ceil corners, x-then-y lerp (texture.rs:134-148).
+Wrap modes Repeat (negative-coord handling) and Clamp per
+texture.rs:277-300; Mirror — unimplemented!() in the reference — is
+implemented here as a proper mirror.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+# Row kinds
+RAW = 0
+BLEND = 1
+YCBCR = 2
+FALLBACK = 3
+
+# Wrap modes (texture.rs:270-275)
+REPEAT = 0
+CLAMP = 1
+MIRROR = 2
+
+# Blend modes (texture.rs:253-259)
+LIGHTEN = 0
+DARKEN = 1
+ADDITION = 2
+SUBTRACTION = 3
+
+# BT.709 constants (texture.rs:196-205)
+_KR, _KG, _KB = 0.2126, 0.7152, 0.0722
+
+
+@struct.dataclass
+class TextureAtlas:
+    data: jnp.ndarray      # (P,4) all texels, concatenated row-major
+    offset: jnp.ndarray    # (T,) first texel of RAW rows
+    width: jnp.ndarray     # (T,)
+    height: jnp.ndarray    # (T,)
+    wrap: jnp.ndarray      # (T,)
+    kind: jnp.ndarray      # (T,)
+    left: jnp.ndarray      # (T,) child id (RAW rows: self)
+    right: jnp.ndarray     # (T,) child id (RAW rows: self)
+    mode: jnp.ndarray      # (T,) blend mode
+    fb_color: jnp.ndarray  # (T,4) fallback solid color
+
+    @property
+    def count(self):
+        return self.offset.shape[0]
+
+    def _wrap(self, w, x):
+        """Reference wrap (texture.rs:277-300), vectorised."""
+        neg = x < 0.0
+        rep = jnp.where(neg, 1.0 - jnp.abs(x) % 1.0, x)
+        rep = jnp.where(rep > 1.0, rep % 1.0, rep)
+        clamp = jnp.clip(x, 0.0, 1.0)
+        # Mirror: triangle wave with period 2.
+        mir = 1.0 - jnp.abs((jnp.abs(x) / 2.0) % 1.0 * 2.0 - 1.0)
+        return jnp.where(w == REPEAT, rep,
+                         jnp.where(w == CLAMP, clamp, mir))
+
+    def _sample_raw(self, ids, uv):
+        """Bilinear sample of RAW rows (texture.rs:126-148)."""
+        off = self.offset[ids]
+        w = self.width[ids]
+        h = self.height[ids]
+        wm = self.wrap[ids]
+
+        u = self._wrap(wm, uv[..., 0])
+        v = self._wrap(wm, uv[..., 1])
+        x = u * (w - 1).astype(jnp.float32)
+        y = v * (h - 1).astype(jnp.float32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        x1 = jnp.ceil(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        y1 = jnp.ceil(y).astype(jnp.int32)
+
+        def texel(xx, yy):
+            return self.data[off + yy * w + xx]
+
+        tx = (x - x0.astype(jnp.float32))[..., None]
+        p0 = texel(x0, y0) * (1.0 - tx) + texel(x1, y0) * tx
+        p1 = texel(x0, y1) * (1.0 - tx) + texel(x1, y1) * tx
+        ty = (y - y0.astype(jnp.float32))[..., None]
+        return p1 * ty + p0 * (1.0 - ty)
+
+    def sample(self, ids, uv):
+        """Sample any row kind for a wavefront: ids (N,), uv (N,2) ->
+        (N,4) RGBA."""
+        ids = jnp.asarray(ids)
+        kind = self.kind[ids]
+        sl = self._sample_raw(self.left[ids], uv)
+        sr = self._sample_raw(self.right[ids], uv)
+
+        # BLEND (texture.rs:253-259): elementwise on all 4 channels.
+        mode = self.mode[ids][..., None]
+        blended = jnp.select(
+            [mode == LIGHTEN, mode == DARKEN, mode == ADDITION],
+            [jnp.maximum(sl, sr), jnp.minimum(sl, sr),
+             jnp.minimum(sl + sr, 1.0)],
+            jnp.maximum(sl - sr, 0.0))
+
+        # YCBCR (texture.rs:228-247): left=luma, right=chroma.
+        yy = sl[..., 0]
+        uu = sr[..., 0] - 0.5
+        vv = sr[..., 1] - 0.5
+        r = yy + vv * (2.0 - 2.0 * _KR)
+        g = (yy + uu * (-(_KB / _KG) * (2.0 - 2.0 * _KB))
+             + vv * (-(_KR / _KG) * (2.0 - 2.0 * _KR)))
+        b = yy + uu * (2.0 - 2.0 * _KB)
+        ycbcr = jnp.stack([r, g, b], axis=-1)
+        ycbcr = jnp.clip(ycbcr, 0.0, 1.0) ** 2.2
+        ycbcr = jnp.concatenate(
+            [ycbcr, jnp.ones(ycbcr.shape[:-1] + (1,), jnp.float32)],
+            axis=-1)
+
+        # FALLBACK (texture.rs:356-359): color*(1-a) + c*a, all channels.
+        a = sl[..., 3:4]
+        fallback = self.fb_color[ids] * (1.0 - a) + sl * a
+
+        return jnp.select(
+            [kind[..., None] == RAW, kind[..., None] == BLEND,
+             kind[..., None] == YCBCR],
+            [sl, blended, ycbcr], fallback)
+
+
+class AtlasBuilder:
+    """Host-side accumulator producing a TextureAtlas."""
+
+    def __init__(self):
+        self._pixels = []   # list of flattened (H*W,4) arrays
+        self._rows = []
+        self._cursor = 0
+
+    def _add_row(self, **kw):
+        row = dict(offset=0, width=1, height=1, wrap=REPEAT, kind=RAW,
+                   left=len(self._rows), right=len(self._rows),
+                   mode=LIGHTEN, fb_color=(0, 0, 0, 0))
+        row.update(kw)
+        self._rows.append(row)
+        return len(self._rows) - 1
+
+    def add_raw(self, rgba, wrap=REPEAT):
+        """rgba: (H,W,4) float32 in [0,1], row 0 = image top (the PNG
+        storage order the reference indexes, texture.rs:115-119)."""
+        rgba = np.ascontiguousarray(np.asarray(rgba, np.float32))
+        if rgba.ndim != 3 or rgba.shape[2] != 4:
+            raise ValueError(f"expected (H,W,4), got {rgba.shape}")
+        h, w = rgba.shape[:2]
+        tid = self._add_row(offset=self._cursor, width=w, height=h,
+                            wrap=wrap)
+        self._pixels.append(rgba.reshape(-1, 4))
+        self._cursor += h * w
+        return tid
+
+    def add_png(self, path, wrap=REPEAT):
+        """Normalized RGBA load (texture.rs:30-69)."""
+        from ..runtime.io import load_png
+        return self.add_raw(load_png(path), wrap=wrap)
+
+    def add_solid(self, rgba):
+        """1x1 solid color (texture.rs:179-194)."""
+        c = np.asarray(tuple(rgba) + (1.0,) * (4 - len(tuple(rgba))),
+                       np.float32)
+        return self.add_raw(c.reshape(1, 1, 4))
+
+    def _check_raw(self, tid):
+        if self._rows[tid]["kind"] != RAW:
+            raise ValueError("combinator children must be RAW rows")
+
+    def add_ycbcr(self, luma, chroma):
+        """luma/chroma: RAW texture ids (texture.rs:207-226)."""
+        self._check_raw(luma), self._check_raw(chroma)
+        return self._add_row(kind=YCBCR, left=luma, right=chroma)
+
+    def add_blend(self, mode, left, right):
+        self._check_raw(left), self._check_raw(right)
+        return self._add_row(kind=BLEND, mode=mode, left=left, right=right)
+
+    def add_fallback(self, color, inner):
+        """Solid-color fallback by alpha (texture.rs:336-360)."""
+        self._check_raw(inner)
+        c = tuple(color) + (1.0,) * (4 - len(tuple(color)))
+        return self._add_row(kind=FALLBACK, left=inner, fb_color=c)
+
+    def build(self) -> TextureAtlas:
+        if not self._pixels:
+            self.add_solid((1.0, 1.0, 1.0, 1.0))
+        rows = self._rows
+        g = lambda k, dt: jnp.asarray(np.array([r[k] for r in rows], dt))
+        return TextureAtlas(
+            data=jnp.asarray(np.concatenate(self._pixels, axis=0)),
+            offset=g("offset", np.int32),
+            width=g("width", np.int32),
+            height=g("height", np.int32),
+            wrap=g("wrap", np.int32),
+            kind=g("kind", np.int32),
+            left=g("left", np.int32),
+            right=g("right", np.int32),
+            mode=g("mode", np.int32),
+            fb_color=g("fb_color", np.float32),
+        )
