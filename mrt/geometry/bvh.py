@@ -222,3 +222,84 @@ def intersect_bvh(tris: Triangles, bvh: FlatBVH, o, d, t_min, t_max,
 
     t, i, u, v = intersect_bvh_tris(tris, bvh, o, d, t_min, t_max)
     return make_hits(tris, o, d, t, i, u, v)
+
+
+# ---------------------------------------------------------------------------
+# Sphere BVH: same flat layout, leaves test the quadratic instead of MT.
+# The reference's world-level BVH treats spheres as just another
+# `Box<dyn Intersect>` leaf (geom.rs:109-162); here sphere sets of any
+# size get their own traversal with the root-selection of geom.rs:64-75.
+# ---------------------------------------------------------------------------
+
+def build_over_spheres(spheres, leaf_size=LEAF_SIZE):
+    """Build a BVH over a Spheres set; returns (FlatBVH, reordered
+    Spheres)."""
+    c = np.asarray(spheres.center)
+    r = np.asarray(spheres.radius)[:, None]
+    (nb_min, nb_max, first, count, escape), order = build(
+        c, c - r, c + r, leaf_size)
+    perm = jnp.asarray(order)
+    reordered = jax.tree.map(lambda x: x[perm], spheres)
+    bvh = FlatBVH(bmin=jnp.asarray(nb_min), bmax=jnp.asarray(nb_max),
+                  first=jnp.asarray(first), count=jnp.asarray(count),
+                  escape=jnp.asarray(escape))
+    return bvh, reordered
+
+
+def intersect_bvh_spheres(spheres, bvh: FlatBVH, o, d, t_min, t_max):
+    """Closest sphere hit via stackless traversal; returns Hits."""
+    from .spheres import make_hits
+
+    n = o.shape[0]
+    m = bvh.n_nodes
+    inv_d = 1.0 / d
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    a = jnp.sum(d * d, axis=-1)
+
+    od = jnp.sum(o * d, axis=-1)
+    state = (
+        jnp.zeros_like(od, dtype=jnp.int32),
+        jnp.full_like(od, INF),
+        jnp.zeros_like(od, dtype=jnp.int32),
+    )
+
+    def cond(state):
+        return jnp.any(state[0] < m)
+
+    def step(state):
+        node, best_t, best_i = state
+        active = node < m
+        ni = jnp.minimum(node, m - 1)
+        hit_box = _slab_test(bvh.bmin[ni], bvh.bmax[ni], o, inv_d,
+                             t_min, jnp.minimum(best_t, t_max)) & active
+        count = bvh.count[ni]
+        first = bvh.first[ni]
+        is_leaf = count > 0
+        do_test = hit_box & is_leaf
+
+        for j in range(LEAF_SIZE):
+            si = jnp.minimum(first + j, spheres.count - 1)
+            valid = do_test & (j < count)
+            oc = o - spheres.center[si]
+            half_b = jnp.sum(oc * d, axis=-1)
+            cterm = jnp.sum(oc * oc, axis=-1) - spheres.radius[si] ** 2
+            disc = half_b * half_b - a * cterm
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_a = 1.0 / a
+            root0 = (-half_b - sq) * inv_a
+            root1 = (-half_b + sq) * inv_a
+            lim = jnp.minimum(best_t, t_max)
+            ok = valid & (disc >= 0.0)
+            ok0 = ok & (root0 >= t_min) & (root0 <= lim)
+            ok1 = ok & (root1 >= t_min) & (root1 <= lim)
+            root = jnp.where(ok0, root0, jnp.where(ok1, root1, INF))
+            better = root < best_t
+            best_t = jnp.where(better, root, best_t)
+            best_i = jnp.where(better, si, best_i)
+
+        next_node = jnp.where(hit_box & ~is_leaf, ni + 1, bvh.escape[ni])
+        node = jnp.where(active, next_node, node)
+        return node, best_t, best_i
+
+    _, best_t, best_i = jax.lax.while_loop(cond, step, state)
+    return make_hits(spheres, o, d, best_t, best_i)

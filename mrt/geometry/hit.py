@@ -22,6 +22,10 @@ class Hits:
     uv: jnp.ndarray          # (N,2) zeros when the primitive has no UVs
     material: jnp.ndarray    # (N,)  int32 MaterialTable row
     hit: jnp.ndarray         # (N,)  bool
+    # Tangent frame for normal mapping (geom.rs:554-561); zeros for
+    # primitives without UVs (spheres, volumes).
+    tangent: jnp.ndarray     # (N,3)
+    bitangent: jnp.ndarray   # (N,3)
 
     @classmethod
     def none(cls, n):
@@ -34,7 +38,16 @@ class Hits:
             uv=jnp.zeros((n, 2), jnp.float32),
             material=jnp.zeros((n,), jnp.int32),
             hit=jnp.zeros((n,), bool),
+            tangent=jnp.zeros((n, 3), jnp.float32),
+            bitangent=jnp.zeros((n, 3), jnp.float32),
         )
+
+    @property
+    def outward_normal(self):
+        """The pre-flip geometric normal (what the reference interpolates
+        before set_face_normal, geom.rs:552)."""
+        return jnp.where(self.front_face[:, None], self.normal,
+                         -self.normal)
 
     def closer_of(self, other: "Hits") -> "Hits":
         """Per-ray select whichever of two hit records is nearer."""
@@ -49,6 +62,8 @@ class Hits:
             uv=jnp.where(take_other[:, None], other.uv, self.uv),
             material=jnp.where(take_other, other.material, self.material),
             hit=self.hit | other.hit,
+            tangent=jnp.where(tv, other.tangent, self.tangent),
+            bitangent=jnp.where(tv, other.bitangent, self.bitangent),
         )
 
 

@@ -303,6 +303,13 @@ def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:
     ov = tlas.override[inst]
     material = jnp.where(ov >= 0, ov, tris.material[ti])
 
+    # Tangent frame to world space with the same forward-linear
+    # convention as the normal (unnormalised, like the reference's
+    # object-space tangents, geom.rs:556-560).
+    tangent_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3], tris.tangent[ti])
+    bitangent_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3],
+                             tris.bitangent[ti])
+
     normal_w, front_face = set_face_normal(d, normal_w)
     return Hits(
         t=jnp.where(hit, best_t, INF),
@@ -312,4 +319,6 @@ def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:
         uv=uv,
         material=material,
         hit=hit,
+        tangent=tangent_w,
+        bitangent=bitangent_w,
     )

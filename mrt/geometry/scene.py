@@ -33,6 +33,7 @@ class Scene:
     materials: Any                         # materials.table.MaterialTable
     background: Any
     spheres: Optional[sphere_mod.Spheres] = None
+    sphere_bvh: Optional[Any] = None       # geometry.bvh.FlatBVH
     triangles: Optional[Any] = None        # geometry.triangles.Triangles
     bvh: Optional[Any] = None              # geometry.bvh.FlatBVH
     tlas: Optional[Any] = None             # geometry.instance.TLAS
@@ -49,8 +50,13 @@ class Scene:
         """
         hits = Hits.none(o.shape[0])
         if self.spheres is not None:
-            hits = hits.closer_of(
-                sphere_mod.intersect(self.spheres, o, d, t_min, t_max))
+            if self.sphere_bvh is not None:
+                from . import bvh as bvh_mod
+                hits = hits.closer_of(bvh_mod.intersect_bvh_spheres(
+                    self.spheres, self.sphere_bvh, o, d, t_min, t_max))
+            else:
+                hits = hits.closer_of(
+                    sphere_mod.intersect(self.spheres, o, d, t_min, t_max))
         if self.triangles is not None:
             from . import triangles as tri_mod  # local: avoid import cycle
             if self.bvh is not None:
@@ -74,6 +80,9 @@ class Scene:
             u = jnp.stack([sampler.next1() for _ in range(v)], axis=-1)
             hits = hits.closer_of(vol_mod.intersect(
                 self.volumes, o, d, t_min, t_max, u))
+        if self.atlas is not None:
+            from ..materials import shade
+            hits = shade.apply_normal_maps(self, hits, d)
         return hits
 
     def background_eval(self, d):
@@ -132,10 +141,15 @@ class SceneBuilder:
         self._volumes.append((tuple(center), float(radius),
                               -1.0 / float(density), mat))
 
+    # Sphere sets at or above this size get a BVH (brute force wins for
+    # small counts; traversal overhead dominates below ~tens).
+    SPHERE_BVH_THRESHOLD = 64
+
     def build(self) -> Scene:
         import jax
 
         spheres = None
+        sphere_bvh = None
         if self._sphere_rows:
             spheres = sphere_mod.Spheres(
                 center=jnp.asarray(
@@ -146,6 +160,9 @@ class SceneBuilder:
                              np.float32)),
                 material=jnp.asarray(
                     np.array([r[2] for r in self._sphere_rows], np.int32)))
+            if spheres.count >= self.SPHERE_BVH_THRESHOLD:
+                from .bvh import build_over_spheres
+                sphere_bvh, spheres = build_over_spheres(spheres)
 
         triangles = None
         if self._tri_groups:
@@ -173,6 +190,7 @@ class SceneBuilder:
             materials=self._materials.build(),
             background=self._background,
             spheres=spheres,
+            sphere_bvh=sphere_bvh,
             triangles=triangles,
             tlas=tlas,
             volumes=volumes,

@@ -129,6 +129,8 @@ def make_hits(spheres: Spheres, o, d, t, index) -> Hits:
         uv=jnp.zeros((o.shape[0], 2), jnp.float32),  # spheres carry no UVs
         material=spheres.material[index],
         hit=hit,
+        tangent=jnp.zeros_like(point),
+        bitangent=jnp.zeros_like(point),
     )
 
 

@@ -227,6 +227,8 @@ def make_hits(tris: Triangles, o, d, t, index, u, v) -> Hits:
         uv=uv,
         material=tris.material[index],
         hit=hit,
+        tangent=tris.tangent[index],
+        bitangent=tris.bitangent[index],
     )
 
 

@@ -86,4 +86,6 @@ def intersect(vols: VolumeSpheres, o, d, t_min, t_max, u) -> Hits:
         uv=jnp.zeros((n, 2), jnp.float32),
         material=vols.material[which],
         hit=hit,
+        tangent=jnp.zeros((n, 3), jnp.float32),
+        bitangent=jnp.zeros((n, 3), jnp.float32),
     )

@@ -61,18 +61,92 @@ def surface_rgba(scene, rows, uv):
     return jnp.where((tex >= 0)[:, None], sampled, solid)
 
 
+def eve_surface(scene, rows, uv):
+    """EVE packed-PBR surface evaluation (reference: eve.rs:91-134).
+
+    Returns (color (N,3), mix_ratio (N,), glow_emission (N,3)).
+    """
+    materials = scene.materials
+    atlas = scene.atlas
+    ar = atlas.sample(jnp.maximum(materials.tex[rows], 0), uv)
+    albedo, roughness = ar[..., :3], ar[..., 3]
+    pmdg = atlas.sample(jnp.maximum(materials.tex_pmdg[rows], 0), uv)
+    paint = pmdg[..., 0]
+    mat_mask = pmdg[..., 1]
+    dirt = pmdg[..., 2]
+    glow = pmdg[..., 3]
+
+    # Faction palette lerp by mask * 3 (eve.rs:192-198).
+    pal = materials.palette[rows]                     # (N,4,3)
+    i = mat_mask * 3.0
+    i0 = jnp.clip(jnp.floor(i).astype(jnp.int32), 0, 3)
+    i1 = jnp.clip(jnp.ceil(i).astype(jnp.int32), 0, 3)
+    frac = (i - i0.astype(jnp.float32))[..., None]
+    c0 = jnp.take_along_axis(pal, i0[:, None, None].repeat(3, -1), 1)[:, 0]
+    c1 = jnp.take_along_axis(pal, i1[:, None, None].repeat(3, -1), 1)[:, 0]
+    mat_color = c0 * (1.0 - frac) + c1 * frac
+
+    # Dirt-darkened, paint-blended albedo (eve.rs:103-108).
+    dirt_c = jnp.minimum(dirt, 1.0)[..., None]
+    color = ((albedo * mat_color * (1.0 - paint[..., None])
+              + albedo * paint[..., None]) * (1.0 - dirt_c)
+             + jnp.asarray([0.01, 0.005, 0.0]) * dirt[..., None])
+    ratio = jnp.minimum(roughness + dirt, 1.0)
+    glow_e = materials.glow3[rows] * glow[..., None] * 10.0
+    return color, ratio, glow_e
+
+
 def emitted(scene, hits, sampler):
     """Per-ray emission (reference: Hit::emit -> Material::emit).
 
     Mix rows re-roll their branch with a fresh draw, independent of the
-    scatter draw, matching material.rs:410-416.
+    scatter draw, matching material.rs:410-416.  EVE rows emit their
+    glow mask times the glow color times 10 (eve.rs:121-128).
     """
     materials = scene.materials
     mix_u = [sampler.next1() for _ in range(T.MAX_MIX_DEPTH)]
     rows = resolve_mix(materials, hits.material, mix_u)
     is_light = materials.mtype[rows] == T.DIFFUSE_LIGHT
     e = materials.emit[rows] * is_light[:, None].astype(jnp.float32)
+    if scene.atlas is not None:
+        is_eve = materials.mtype[rows] == T.EVE
+        _, _, glow_e = eve_surface(scene, rows, hits.uv)
+        e = jnp.where(is_eve[:, None], glow_e, e)
     return jnp.where(hits.hit[:, None], e, 0.0)
+
+
+def apply_normal_maps(scene, hits, d_in):
+    """Tangent-space normal mapping (reference: geom.rs:554-561 +
+    eve.rs:66-73,130-134).
+
+    For EVE hits with a normal+occlusion texture and a valid tangent
+    frame: decode the packed XY (green/alpha channels), reconstruct Z,
+    combine in the hit's tangent frame using the pre-flip normal, then
+    re-run set_face_normal — the reference's exact ordering
+    (geom.rs:554-580).
+    """
+    materials = scene.materials
+    rows = hits.material
+    tex_no = materials.tex_no[rows]
+    has_frame = jnp.sum(hits.tangent * hits.tangent, axis=-1) > 0.0
+    applies = ((materials.mtype[rows] == T.EVE) & (tex_no >= 0)
+               & hits.hit & has_frame)
+
+    px = scene.atlas.sample(jnp.maximum(tex_no, 0), hits.uv) * 2.0 - 1.0
+    x = 1.0 - px[..., 1] ** 2 - px[..., 3] ** 2
+    z = jnp.sqrt(jnp.abs(x))
+    tn = vec.unit(jnp.stack([px[..., 1], px[..., 3], z], axis=-1))
+
+    outward = hits.outward_normal
+    mapped = (hits.tangent * tn[..., 0:1]
+              + hits.bitangent * tn[..., 1:2]
+              + outward * tn[..., 2:3])
+    from ..geometry.hit import set_face_normal
+
+    new_normal, new_ff = set_face_normal(d_in, mapped)
+    return hits.replace(
+        normal=jnp.where(applies[:, None], new_normal, hits.normal),
+        front_face=jnp.where(applies, new_ff, hits.front_face))
 
 
 def _schlick(cos_theta, refraction_ratio):
@@ -138,8 +212,26 @@ def scatter(scene, hits, d_in, sampler):
     spec_atten = jnp.where(reflect_choice[:, None],
                            jnp.ones_like(albedo), albedo)
 
-    # --- Select by class --------------------------------------------------
+    # --- EVE packed-PBR: per-hit Mix(roughness+dirt, Lambertian(color),
+    # Specular(1.8, color)) (eve.rs:100-118) -----------------------------
+    is_eve = mtype == T.EVE
     one = jnp.ones_like(albedo)
+    if scene.atlas is not None:
+        eve_color, eve_ratio, _ = eve_surface(scene, rows, hits.uv)
+        u_eve = sampler.next1()
+        pick_lam = u_eve < eve_ratio
+        # Lambertian arm uses its own scatter direction; Specular arm is
+        # the Fresnel gate computed above (ior 1.8 stored in the row).
+        eve_dir = jnp.where(pick_lam[:, None], lam_dir, spec_dir)
+        eve_atten = jnp.where(
+            pick_lam[:, None], eve_color,
+            jnp.where(reflect_choice[:, None], one, eve_color))
+    else:
+        eve_dir = normal
+        eve_atten = one
+        is_eve = jnp.zeros_like(is_eve)
+
+    # --- Select by class --------------------------------------------------
     is_lam = mtype == T.LAMBERTIAN
     is_metal = mtype == T.METAL
     is_diel = mtype == T.DIELECTRIC
@@ -151,15 +243,18 @@ def scatter(scene, hits, d_in, sampler):
                   sel(is_metal, metal_dir,
                       sel(is_diel, diel_dir,
                           sel(is_iso, unit_sphere,
-                              sel(is_spec, spec_dir, normal)))))
+                              sel(is_spec, spec_dir,
+                                  sel(is_eve, eve_dir, normal))))))
     atten = sel(is_lam, albedo,
                 sel(is_metal, albedo,
                     sel(is_diel, one,
                         sel(is_iso, albedo,
-                            sel(is_spec, spec_atten, one)))))
+                            sel(is_spec, spec_atten,
+                                sel(is_eve, eve_atten, one))))))
 
     scattered = hits.hit & (
-        is_lam | is_diel | is_iso | is_spec | (is_metal & metal_ok))
+        is_lam | is_diel | is_iso | is_spec | is_eve
+        | (is_metal & metal_ok))
     return atten, new_dir, scattered
 
 

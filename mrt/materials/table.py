@@ -30,6 +30,11 @@ ISOTROPIC = 4
 SPECULAR = 5
 MIX = 6
 NULL = 7
+# Packed-PBR ship material (reference: src/eve.rs:91-134): three packed
+# textures (albedo+roughness, normal+occlusion, paint/material/dirt/glow
+# masks), a 4-color faction palette, and a glow color; shades as a
+# per-hit Mix(roughness+dirt, Lambertian, Specular(1.8)).
+EVE = 8
 
 # Maximum depth of nested Mix materials resolved per event.  The reference
 # supports arbitrary nesting via recursion; in practice scenes nest <= 2
@@ -50,6 +55,11 @@ class MaterialTable:
     mix_ratio: jnp.ndarray  # (M,)  P(choose left) for MIX rows
     mix_left: jnp.ndarray   # (M,)  int32 table row
     mix_right: jnp.ndarray  # (M,)  int32 table row
+    # EVE rows (NO_TEXTURE elsewhere): `tex` holds albedo+roughness.
+    tex_no: jnp.ndarray     # (M,)  normal+occlusion texture id
+    tex_pmdg: jnp.ndarray   # (M,)  paint/material/dirt/glow texture id
+    palette: jnp.ndarray    # (M,4,3) faction colors (eve.rs:136-198)
+    glow3: jnp.ndarray      # (M,3) glow color
 
     @property
     def count(self):
@@ -67,11 +77,13 @@ class MaterialBuilder:
 
     def _add(self, mtype, albedo=(0, 0, 0, 1), tex=NO_TEXTURE, fuzz=0.0,
              ior=1.0, emit=(0, 0, 0), mix_ratio=0.0, mix_left=0,
-             mix_right=0):
+             mix_right=0, tex_no=NO_TEXTURE, tex_pmdg=NO_TEXTURE,
+             palette=((0,) * 3,) * 4, glow3=(0, 0, 0)):
         self._rows.append(dict(
             mtype=mtype, albedo=tuple(albedo), tex=tex, fuzz=fuzz, ior=ior,
             emit=tuple(emit), mix_ratio=mix_ratio, mix_left=mix_left,
-            mix_right=mix_right))
+            mix_right=mix_right, tex_no=tex_no, tex_pmdg=tex_pmdg,
+            palette=tuple(tuple(c) for c in palette), glow3=tuple(glow3)))
         return len(self._rows) - 1
 
     def lambertian(self, albedo=(1.0, 1.0, 1.0, 1.0), tex=NO_TEXTURE):
@@ -106,11 +118,22 @@ class MaterialBuilder:
     def null(self):
         return self._add(NULL)
 
+    def eve(self, tex_ar, tex_no, tex_pmdg, palette,
+            glow=(0.5, 0.85, 2.0)):
+        """Packed-PBR ship material (eve.rs:44-134).
+
+        tex_ar/tex_no/tex_pmdg: atlas ids of the albedo+roughness,
+        normal+occlusion and paint/material/dirt/glow textures;
+        palette: 4 RGB faction colors lerped by the material mask
+        (eve.rs:136-198); glow: emission color scaled by mask * 10.
+        """
+        return self._add(EVE, tex=tex_ar, ior=1.8, tex_no=tex_no,
+                         tex_pmdg=tex_pmdg, palette=palette, glow3=glow)
+
     def build(self) -> MaterialTable:
-        rows = self._rows or [dict(
-            mtype=NULL, albedo=(0, 0, 0, 1), tex=NO_TEXTURE, fuzz=0.0,
-            ior=1.0, emit=(0, 0, 0), mix_ratio=0.0, mix_left=0,
-            mix_right=0)]
+        if not self._rows:
+            self.null()
+        rows = self._rows
         f32 = np.float32
         return MaterialTable(
             mtype=jnp.asarray([r["mtype"] for r in rows], jnp.int32),
@@ -124,4 +147,10 @@ class MaterialBuilder:
             mix_left=jnp.asarray([r["mix_left"] for r in rows], jnp.int32),
             mix_right=jnp.asarray(
                 [r["mix_right"] for r in rows], jnp.int32),
+            tex_no=jnp.asarray([r["tex_no"] for r in rows], jnp.int32),
+            tex_pmdg=jnp.asarray(
+                [r["tex_pmdg"] for r in rows], jnp.int32),
+            palette=jnp.asarray(
+                np.array([r["palette"] for r in rows], f32)),
+            glow3=jnp.asarray(np.array([r["glow3"] for r in rows], f32)),
         )

@@ -49,6 +49,25 @@ SUBTRACTION = 3
 _KR, _KG, _KB = 0.2126, 0.7152, 0.0722
 
 
+def _host_resample(img, h, w):
+    """Reference-style bilinear resample to (h,w) on host
+    (texture.rs:134-148 scaling by size-1)."""
+    ih, iw = img.shape[:2]
+    if (ih, iw) == (h, w):
+        return img
+    y = np.linspace(0.0, 1.0, h) * (ih - 1)
+    x = np.linspace(0.0, 1.0, w) * (iw - 1)
+    y0 = np.floor(y).astype(int)
+    y1 = np.ceil(y).astype(int)
+    x0 = np.floor(x).astype(int)
+    x1 = np.ceil(x).astype(int)
+    ty = (y - y0)[:, None, None]
+    tx = (x - x0)[None, :, None]
+    p0 = img[y0][:, x0] * (1 - tx) + img[y0][:, x1] * tx
+    p1 = img[y1][:, x0] * (1 - tx) + img[y1][:, x1] * tx
+    return p1 * ty + p0 * (1 - ty)
+
+
 @struct.dataclass
 class TextureAtlas:
     data: jnp.ndarray      # (P,4) all texels, concatenated row-major
@@ -200,6 +219,56 @@ class AtlasBuilder:
         self._check_raw(inner)
         c = tuple(color) + (1.0,) * (4 - len(tuple(color)))
         return self._add_row(kind=FALLBACK, left=inner, fb_color=c)
+
+    # -- host-side evaluation / baking ------------------------------------
+
+    def _host_pixels(self, tid):
+        """Evaluate a row to an (H,W,4) numpy array on host."""
+        row = self._rows[tid]
+        if row["kind"] == RAW:
+            off, w, h = row["offset"], row["width"], row["height"]
+            # Locate the pixel block containing this offset.
+            flat = np.concatenate(self._pixels, axis=0)
+            return flat[off:off + w * h].reshape(h, w, 4)
+        if row["kind"] == YCBCR:
+            luma = self._host_pixels(row["left"])
+            chroma = self._host_pixels(row["right"])
+            chroma = _host_resample(chroma, luma.shape[0], luma.shape[1])
+            yy = luma[..., 0]
+            uu = chroma[..., 0] - 0.5
+            vv = chroma[..., 1] - 0.5
+            r = yy + vv * (2.0 - 2.0 * _KR)
+            g = (yy + uu * (-(_KB / _KG) * (2.0 - 2.0 * _KB))
+                 + vv * (-(_KR / _KG) * (2.0 - 2.0 * _KR)))
+            b = yy + uu * (2.0 - 2.0 * _KB)
+            rgb = np.clip(np.stack([r, g, b], -1), 0.0, 1.0) ** 2.2
+            return np.concatenate(
+                [rgb, np.ones(rgb.shape[:-1] + (1,), np.float32)], -1)
+        raise NotImplementedError(f"host eval of kind {row['kind']}")
+
+    def bake_blend(self, mode, left, right, wrap=REPEAT):
+        """Host-bake a blend of two rows (any host-evaluable kind) into a
+        RAW row at the finer resolution.  Used where the reference nests
+        combinators two deep (eve.rs:353: Blend(stars, YCbCr(nebula)))
+        — exact at the baked texel grid, bilinear between texels."""
+        lp = self._host_pixels(left)
+        rp = self._host_pixels(right)
+        h = max(lp.shape[0], rp.shape[0])
+        w = max(lp.shape[1], rp.shape[1])
+        lp = _host_resample(lp, h, w)
+        rp = _host_resample(rp, h, w)
+        if mode == LIGHTEN:
+            out = np.maximum(lp, rp)
+        elif mode == DARKEN:
+            out = np.minimum(lp, rp)
+        elif mode == ADDITION:
+            out = np.minimum(lp + rp, 1.0)
+        else:
+            out = np.maximum(lp - rp, 0.0)
+        return self.add_raw(out, wrap=wrap)
+
+    def bake_addition(self, left, right, wrap=REPEAT):
+        return self.bake_blend(ADDITION, left, right, wrap=wrap)
 
     def build(self) -> TextureAtlas:
         if not self._pixels:

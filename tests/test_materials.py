@@ -25,6 +25,8 @@ def _hits(n, material, normal=(0.0, 1.0, 0.0), front_face=True):
         uv=jnp.zeros((n, 2)),
         material=jnp.full((n,), material, jnp.int32),
         hit=jnp.ones((n,), bool),
+        tangent=jnp.zeros((n, 3)),
+        bitangent=jnp.zeros((n, 3)),
     )
 
 

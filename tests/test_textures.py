@@ -169,7 +169,8 @@ class TestMaterialTextures:
             normal=jnp.zeros((n, 3)).at[:, 1].set(1.0),
             front_face=jnp.ones((n,), bool), uv=jnp.zeros((n, 2)),
             material=jnp.full((n,), m, jnp.int32),
-            hit=jnp.ones((n,), bool))
+            hit=jnp.ones((n,), bool),
+            tangent=jnp.zeros((n, 3)), bitangent=jnp.zeros((n, 3)))
         atten, _, sc = shade.scatter(
             scene, hits,
             jnp.zeros((n, 3)).at[:, 1].set(-1.0),
