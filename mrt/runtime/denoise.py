@@ -1,0 +1,72 @@
+"""AOV-guided denoiser (the OIDN-equivalent post filter).
+
+The reference optionally runs Intel Open Image Denoise over the
+tonemapped sRGB frame with albedo+normal guide buffers
+(reference: src/main.rs:724-747, behind the `denoise` cargo feature).
+OIDN is a CPU neural filter; the TPU-native stand-in is an edge-aware
+à-trous wavelet filter (SVGF-style) with joint albedo/normal/color
+range weights — pure jnp, jittable, and it uses the exact same guide
+buffers and in-place-on-sRGB call convention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# B3-spline 5-tap kernel for the a-trous pyramid.
+_KERNEL = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _shift2d(img, dy, dx):
+    """Edge-clamped shift of (H,W,C)."""
+    return jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def denoise(rgb, albedo=None, normal=None, iterations=4,
+            sigma_color=0.35, sigma_albedo=0.15, sigma_normal=0.25):
+    """Edge-aware à-trous filter.
+
+    Args:
+      rgb: (H,W,3) tonemapped color (like OIDN's srgb in-place input).
+      albedo/normal: optional (H,W,3) guides (main.rs:733-737 uses both
+        when available, else filters unguided, main.rs:738-744).
+    Returns filtered (H,W,3).
+    """
+    out = rgb
+    for it in range(iterations):
+        step = 1 << it
+        accum = jnp.zeros_like(out)
+        weight = jnp.zeros(out.shape[:2] + (1,), out.dtype)
+        for ky in range(5):
+            for kx in range(5):
+                dy = (ky - 2) * step
+                dx = (kx - 2) * step
+                k = _KERNEL[ky] * _KERNEL[kx]
+                c = _shift2d(out, dy, dx)
+                w = jnp.full(out.shape[:2] + (1,), k, out.dtype)
+                dc = jnp.sum((c - out) ** 2, axis=-1, keepdims=True)
+                w = w * jnp.exp(-dc / (sigma_color ** 2))
+                if albedo is not None:
+                    da = jnp.sum((_shift2d(albedo, dy, dx) - albedo) ** 2,
+                                 axis=-1, keepdims=True)
+                    w = w * jnp.exp(-da / (sigma_albedo ** 2))
+                if normal is not None:
+                    dn = jnp.sum((_shift2d(normal, dy, dx) - normal) ** 2,
+                                 axis=-1, keepdims=True)
+                    w = w * jnp.exp(-dn / (sigma_normal ** 2))
+                accum = accum + c * w
+                weight = weight + w
+        out = accum / jnp.maximum(weight, 1e-8)
+    return out
+
+
+def make_denoiser(iterations=4):
+    """Adapter matching Film.to_float_rgb's `denoiser` hook:
+    (rgb, albedo, normal) -> rgb."""
+    def fn(rgb, albedo, normal):
+        return denoise(rgb, albedo, normal, iterations=iterations)
+    return fn

@@ -1,0 +1,116 @@
+"""Runtime layer: CLI driver, config, input record/replay, denoiser."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mrt.runtime.config import RenderConfig
+from mrt.runtime.input import InputCollection, InputRecorder, InputReplay
+from mrt.runtime.denoise import denoise
+
+
+class TestConfig:
+    def test_json_roundtrip(self, tmp_path):
+        c = RenderConfig(scene="cornell", width=64, height=64, spp=4)
+        p = str(tmp_path / "c.json")
+        c.to_json(p)
+        c2 = RenderConfig.from_json(p)
+        assert c2 == c
+
+    def test_defaults_match_reference(self):
+        c = RenderConfig()
+        assert (c.width, c.height) == (1920, 1080)  # main.rs:43-45
+        assert c.max_depth == 50                     # main.rs:37
+        assert c.seed == 1                           # main.rs:86
+
+
+class TestInput:
+    def test_record_replay_roundtrip(self, tmp_path):
+        rec = InputRecorder()
+        frames = [InputCollection(stick_x=0.5, button_a=True),
+                  InputCollection(stick_y=-1.0, button_z=True),
+                  InputCollection()]
+        for f in frames:
+            rec.record(f)
+        p = str(tmp_path / "input.bin")
+        rec.save(p)
+        rep = InputReplay(p)
+        for i, f in enumerate(frames):
+            assert rep.frame(i) == f
+        # Past the end: hold last frame (mario.rs:331-343).
+        assert rep.frame(99) == frames[-1]
+
+
+class TestDenoiser:
+    def test_reduces_noise_preserves_edges(self, rng):
+        h = w = 64
+        clean = np.zeros((h, w, 3), np.float32)
+        clean[:, w // 2:] = 0.8          # a hard vertical edge
+        albedo = clean.copy()
+        normal = np.zeros((h, w, 3), np.float32)
+        normal[..., 2] = 1.0
+        noisy = clean + rng.normal(0, 0.1, clean.shape).astype(np.float32)
+        out = np.asarray(denoise(jnp.asarray(noisy), jnp.asarray(albedo),
+                                 jnp.asarray(normal)))
+        # Noise reduced in flat regions...
+        left_std = out[:, :w // 2 - 4].std()
+        assert left_std < noisy[:, :w // 2 - 4].std() * 0.5
+        # ...edge preserved (albedo guide forbids cross-edge blur).
+        edge_contrast = (out[:, w // 2 + 2].mean()
+                         - out[:, w // 2 - 3].mean())
+        assert edge_contrast > 0.6
+
+
+class TestDriver:
+    def test_single_frame_cli(self, tmp_path):
+        from mrt.runtime.driver import run
+
+        out = str(tmp_path / "frame.png")
+        config = RenderConfig(scene="rtiow", width=32, height=18, spp=2,
+                              max_depth=4, samples_per_pass=2, output=out)
+        logs = []
+        run(config, log=logs.append)
+        assert os.path.exists(out)
+        from PIL import Image
+        img = Image.open(out)
+        assert img.size == (32, 18)
+
+    def test_checkpoint_resume_via_driver(self, tmp_path):
+        from mrt.runtime.driver import run
+
+        out = str(tmp_path / "frame.png")
+        ckpt = str(tmp_path / "state.npz")
+        config = RenderConfig(scene="rtiow", width=16, height=9, spp=2,
+                              max_depth=4, samples_per_pass=2, output=out,
+                              checkpoint=ckpt)
+        film1 = run(config, log=lambda *a: None)
+        assert int(film1.samples) == 2
+        config2 = RenderConfig(scene="rtiow", width=16, height=9, spp=4,
+                               max_depth=4, samples_per_pass=2,
+                               output=out, checkpoint=ckpt)
+        film2 = run(config2, log=lambda *a: None)
+        assert int(film2.samples) == 4
+
+    def test_animation_frames(self, tmp_path):
+        from mrt.runtime.driver import run
+
+        config = RenderConfig(
+            scene="rtiow", width=16, height=9, max_depth=3,
+            samples_per_frame=1, animate=True, fps=2.0,
+            animation_seconds=1.0,
+            animation_dir=str(tmp_path / "anim"))
+        run(config, log=lambda *a: None)
+        assert os.path.exists(str(tmp_path / "anim" / "frame_00000.png"))
+        assert os.path.exists(str(tmp_path / "anim" / "frame_00001.png"))
+
+    def test_cli_parser(self):
+        from mrt.__main__ import build_parser
+
+        args = build_parser().parse_args(
+            ["--scene", "cornell", "--spp", "16", "-o", "x.png",
+             "--mesh-tile", "4"])
+        assert args.scene == "cornell"
+        assert args.spp == 16
+        assert args.mesh_tile == 4
