@@ -188,14 +188,15 @@ def intersect_bvh_tris(tris: Triangles, bvh: FlatBVH, o, d, t_min, t_max):
             va = tris.va[ti]
             p = jnp.cross(d, ac)
             det = jnp.sum(ab * p, axis=-1)
-            inv_det = 1.0 / det
+            det_ok = jnp.abs(det) >= DET_EPS
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
             tv = o - va
             u = jnp.sum(tv * p, axis=-1) * inv_det
             q = jnp.cross(tv, ab)
             v = jnp.sum(d * q, axis=-1) * inv_det
             t = jnp.sum(ac * q, axis=-1) * inv_det
             ok = (valid
-                  & (jnp.abs(det) >= DET_EPS)
+                  & det_ok
                   & (u >= 0.0) & (u <= 1.0)
                   & (v >= 0.0) & (u + v <= 1.0)
                   & (t >= t_min)
@@ -284,7 +285,9 @@ def intersect_bvh_spheres(spheres, bvh: FlatBVH, o, d, t_min, t_max):
             half_b = jnp.sum(oc * d, axis=-1)
             cterm = jnp.sum(oc * oc, axis=-1) - spheres.radius[si] ** 2
             disc = half_b * half_b - a * cterm
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            # where-before-sqrt: keep backward passes NaN-free.
+            sq = jnp.sqrt(jnp.where(disc >= 0.0,
+                                    jnp.maximum(disc, 0.0), 1.0))
             inv_a = 1.0 / a
             root0 = (-half_b - sq) * inv_a
             root1 = (-half_b + sq) * inv_a

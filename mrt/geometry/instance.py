@@ -249,13 +249,14 @@ def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:
             va = tris.va[ti]
             p = jnp.cross(d_l, ac)
             det = jnp.sum(ab * p, axis=-1)
-            inv_det = 1.0 / det
+            det_ok = jnp.abs(det) >= DET_EPS
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
             tv = o_l - va
             u = jnp.sum(tv * p, axis=-1) * inv_det
             q = jnp.cross(tv, ab)
             v = jnp.sum(d_l * q, axis=-1) * inv_det
             t = jnp.sum(ac * q, axis=-1) * inv_det
-            ok = (valid & (jnp.abs(det) >= DET_EPS)
+            ok = (valid & det_ok
                   & (u >= 0.0) & (u <= 1.0)
                   & (v >= 0.0) & (u + v <= 1.0)
                   & (t >= t_min) & (t <= jnp.minimum(bt, t_max)))

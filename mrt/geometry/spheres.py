@@ -90,11 +90,13 @@ def nearest_t(spheres: Spheres, o, d, t_min, t_max):
         half_b = od[None, :] - cd                          # (C,N)
         c_term = (oo[None, :] - 2.0 * co) + cc_rr[:, None]
         disc = half_b * half_b - a[None, :] * c_term
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        ok = disc >= 0.0
+        # where-before-sqrt: sqrt'(0)=inf would NaN the backward pass of
+        # differentiable renders even though misses are masked out.
+        sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 1.0))
         inv_a = 1.0 / a[None, :]
         root0 = (-half_b - sq) * inv_a
         root1 = (-half_b + sq) * inv_a
-        ok = disc >= 0.0
         lim = jnp.minimum(best_t, t_max)[None, :]
         ok0 = ok & (root0 >= t_min) & (root0 <= lim)
         ok1 = ok & (root1 >= t_min) & (root1 <= lim)

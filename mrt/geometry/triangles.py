@@ -166,7 +166,9 @@ def nearest_hit(tris: Triangles, o, d, t_min, t_max):
         # p_vec = d x ac           (C,N,3)
         p = jnp.cross(d[None, :, :], cac[:, None, :])
         det = jnp.sum(cab[:, None, :] * p, axis=-1)          # (C,N)
-        inv_det = 1.0 / det
+        det_ok = jnp.abs(det) >= DET_EPS
+        # Masked reciprocal keeps backward passes NaN-free.
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
         tv = o[None, :, :] - cva[:, None, :]                 # (C,N,3)
         u = jnp.sum(tv * p, axis=-1) * inv_det
         q = jnp.cross(tv, cab[:, None, :])                   # (C,N,3)
@@ -174,7 +176,7 @@ def nearest_hit(tris: Triangles, o, d, t_min, t_max):
         t = jnp.sum(cac[:, None, :] * q, axis=-1) * inv_det
 
         lim = jnp.minimum(best_t, t_max)[None, :]
-        ok = ((jnp.abs(det) >= DET_EPS)
+        ok = (det_ok
               & (u >= 0.0) & (u <= 1.0)
               & (v >= 0.0) & (u + v <= 1.0)
               & (t >= t_min) & (t <= lim))

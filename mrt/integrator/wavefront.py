@@ -34,7 +34,40 @@ MAX_DEPTH = 50
 T_MIN = 1e-3  # world.rs:68: intersect(ray, 0.001, inf)
 
 
-def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH):
+def _bounce(scene, ray_id, seed, b, state):
+    """One wavefront bounce: intersect, shade, terminate/continue."""
+    o, d, throughput, radiance, alive, bounces = state
+    # Per-bounce samplers: every draw is a pure function of
+    # (seed, ray_id, bounce), so results are schedule-invariant.
+    vol_sampler = Sampler(seed, ray_id, salt=3 * b + 2)
+    hits = scene.intersect(o, d, t_min=T_MIN, sampler=vol_sampler)
+
+    em_sampler = Sampler(seed, ray_id, salt=3 * b)
+    sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
+
+    emitted = shade.emitted(scene, hits, em_sampler)
+    atten, new_dir, scattered = shade.scatter(scene, hits, d, sc_sampler)
+
+    background = scene.background_eval(d)
+
+    live = alive
+    hit = hits.hit & live
+    miss = ~hits.hit & live
+
+    contrib = (jnp.where(miss[:, None], background, 0.0)
+               + jnp.where(hit[:, None], emitted, 0.0))
+    radiance = radiance + throughput * contrib
+
+    cont = hit & scattered
+    throughput = jnp.where(cont[:, None], throughput * atten, throughput)
+    o = jnp.where(cont[:, None], hits.point, o)
+    d = jnp.where(cont[:, None], new_dir, d)
+    bounces = bounces + cont.astype(jnp.int32)
+    return (o, d, throughput, radiance, cont, bounces)
+
+
+def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
+                    differentiable=False):
     """Trace N rays to completion.
 
     Args:
@@ -43,51 +76,18 @@ def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH):
       ray_id: (N,) int32 — stable per-ray stream ids for the RNG.
       seed: scalar uint32 render seed.
       max_depth: static bounce limit.
+      differentiable: when True, run the bounce loop as a fixed-length
+        `lax.scan` with per-bounce rematerialisation (`jax.checkpoint`)
+        so `jax.grad` works through the whole path (SURVEY §7 step 7);
+        gradients flow through hit geometry, attenuation, emission and
+        backgrounds while discrete events (hit selection, Fresnel and
+        Mix branches, RNG draws) are constant, like reparameterised
+        detached sampling.  The default while_loop exits early once the
+        wavefront dies, which reverse-mode AD cannot unroll.
 
     Returns:
       (radiance (N,3), bounces (N,) int32).
     """
-    n = o.shape[0]
-
-    def bounce(carry):
-        b, state = carry
-        o, d, throughput, radiance, alive, bounces = state
-        # Per-bounce samplers: every draw is a pure function of
-        # (seed, ray_id, bounce), so results are schedule-invariant.
-        vol_sampler = Sampler(seed, ray_id, salt=3 * b + 2)
-        hits = scene.intersect(o, d, t_min=T_MIN, sampler=vol_sampler)
-
-        em_sampler = Sampler(seed, ray_id, salt=3 * b)
-        sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
-
-        emitted = shade.emitted(scene, hits, em_sampler)
-        atten, new_dir, scattered = shade.scatter(scene, hits, d, sc_sampler)
-
-        background = scene.background_eval(d)
-
-        live = alive
-        hit = hits.hit & live
-        miss = ~hits.hit & live
-
-        contrib = (jnp.where(miss[:, None], background, 0.0)
-                   + jnp.where(hit[:, None], emitted, 0.0))
-        radiance = radiance + throughput * contrib
-
-        cont = hit & scattered
-        throughput = jnp.where(cont[:, None], throughput * atten, throughput)
-        o = jnp.where(cont[:, None], hits.point, o)
-        d = jnp.where(cont[:, None], new_dir, d)
-        bounces = bounces + cont.astype(jnp.int32)
-        return (b + 1, (o, d, throughput, radiance, cont, bounces))
-
-    def any_alive(carry):
-        b, state = carry
-        # Early exit once the whole wavefront is dead: in typical scenes
-        # most paths terminate after a few bounces, so a while_loop makes
-        # the cost track the *mean* path length instead of max_depth (the
-        # reference's recursion gets this for free; a fori_loop wouldn't).
-        return (b < max_depth) & jnp.any(state[4])
-
     # Carry inits derive from the ray arrays so they inherit the rays'
     # varying-axes type under shard_map (fresh ones/zeros would not).
     init = (
@@ -97,6 +97,28 @@ def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH):
         jnp.full_like(o[:, 0], True, dtype=bool),
         jnp.zeros_like(o[:, 0], dtype=jnp.int32),
     )
+
+    if differentiable:
+        @jax.checkpoint
+        def scan_body(state, b):
+            return _bounce(scene, ray_id, seed, b, state), None
+
+        state, _ = jax.lax.scan(scan_body, init,
+                                jnp.arange(max_depth, dtype=jnp.int32))
+        return state[3], state[5]
+
+    def bounce(carry):
+        b, state = carry
+        return (b + 1, _bounce(scene, ray_id, seed, b, state))
+
+    def any_alive(carry):
+        b, state = carry
+        # Early exit once the whole wavefront is dead: in typical scenes
+        # most paths terminate after a few bounces, so a while_loop makes
+        # the cost track the *mean* path length instead of max_depth (the
+        # reference's recursion gets this for free; a fori_loop wouldn't).
+        return (b < max_depth) & jnp.any(state[4])
+
     _, (o, d, throughput, radiance, alive, bounces) = jax.lax.while_loop(
         any_alive, bounce, (jnp.int32(0), init))
     # Rays still alive after max_depth bounces contribute black for the

@@ -61,12 +61,16 @@ def reflect(v, n):
 def refract(uv, n, etai_over_etat):
     """Snell refraction of *unit* vector uv (reference: math.rs:119-124).
 
-    ``etai_over_etat`` broadcasts as (...)-shaped.
+    ``etai_over_etat`` broadcasts as (...)-shaped.  The sqrt uses the
+    where-before-sqrt pattern: shading evaluates the refraction branch
+    masked for every ray, and sqrt'(0)=inf at grazing lanes would turn
+    the masked-out backward pass into NaN (0 * inf).
     """
     cos_theta = jnp.minimum(dot(-uv, n), 1.0)
     r_out_perp = (uv + n * cos_theta[..., None]) * etai_over_etat[..., None]
-    r_out_parallel = n * -jnp.sqrt(
-        jnp.abs(1.0 - length_squared(r_out_perp)))[..., None]
+    k = jnp.abs(1.0 - length_squared(r_out_perp))
+    safe = jnp.sqrt(jnp.where(k > 0.0, k, 1.0))
+    r_out_parallel = n * -jnp.where(k > 0.0, safe, 0.0)[..., None]
     return r_out_perp + r_out_parallel
 
 

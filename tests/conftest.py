@@ -32,6 +32,8 @@ def pytest_configure(config):
     env[_REEXEC_MARK] = "1"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # TPU-written persistent-cache entries mis-load on CPU hosts.
+    env["MRT_NO_COMPILE_CACHE"] = "1"
     flags = env.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (

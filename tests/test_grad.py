@@ -1,0 +1,129 @@
+"""Gradient correctness: jax.grad through the bounce loop vs finite
+differences, plus an end-to-end inverse-rendering optimization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mrt.core.camera import Camera
+from mrt.geometry.scene import Scene
+from mrt.geometry.spheres import Spheres
+from mrt.materials.table import MaterialBuilder
+from mrt.materials.background import SolidBackground, SkyBackground
+from mrt import inverse
+
+
+def _scene_with_albedo(albedo):
+    """One diffuse sphere + ground under a sky; albedo is the free
+    parameter (3,)."""
+    b = MaterialBuilder()
+    ground = b.lambertian((0.5, 0.5, 0.5))
+    free = b.lambertian((1.0, 1.0, 1.0))  # overwritten below
+    table = b.build()
+    table = table.replace(albedo=table.albedo.at[free, :3].set(albedo))
+    return Scene(
+        materials=table,
+        background=SkyBackground.create(),
+        spheres=Spheres(
+            center=jnp.asarray([[0.0, -100.5, -2.0], [0.0, 0.0, -2.0]]),
+            radius=jnp.asarray([100.0, 0.5]),
+            material=jnp.asarray([ground, free], jnp.int32)))
+
+
+def _camera():
+    return Camera.create(60.0, (0, 0, 0), (0, 0, -1), (0, 1, 0),
+                         aspect_ratio=1.0)
+
+
+class TestFiniteDifferences:
+    def _loss(self, albedo, spp=4, depth=4):
+        scene = _scene_with_albedo(albedo)
+        img = inverse.render_image(scene, _camera(), 8, 8, spp=spp,
+                                   seed=3, max_depth=depth)
+        return jnp.mean(img)
+
+    def test_albedo_gradient_matches_fd(self):
+        albedo = jnp.asarray([0.6, 0.4, 0.2])
+        g = jax.grad(self._loss)(albedo)
+        assert np.all(np.isfinite(np.asarray(g)))
+        eps = 1e-2
+        for c in range(3):
+            ap = albedo.at[c].add(eps)
+            am = albedo.at[c].add(-eps)
+            fd = (self._loss(ap) - self._loss(am)) / (2 * eps)
+            # Same seed => same paths; FD of the smooth attenuation
+            # product should match closely.
+            assert np.isclose(float(g[c]), float(fd), rtol=5e-2,
+                              atol=1e-4), f"channel {c}: {g[c]} vs {fd}"
+
+    def test_emission_gradient_matches_fd(self):
+        def loss(emit_scale):
+            b = MaterialBuilder()
+            ground = b.lambertian((0.5, 0.5, 0.5))
+            light = b.diffuse_light((1.0, 1.0, 1.0))
+            table = b.build()
+            table = table.replace(
+                emit=table.emit.at[light].set(emit_scale))
+            scene = Scene(
+                materials=table,
+                background=SolidBackground.create((0.0, 0.0, 0.0)),
+                spheres=Spheres(
+                    center=jnp.asarray([[0.0, -100.5, -2.0],
+                                        [0.0, 1.0, -2.0]]),
+                    radius=jnp.asarray([100.0, 0.8]),
+                    material=jnp.asarray([ground, light], jnp.int32)))
+            img = inverse.render_image(scene, _camera(), 8, 8, spp=2,
+                                       seed=1, max_depth=3)
+            return jnp.mean(img)
+
+        scale = jnp.asarray([2.0, 2.0, 2.0])
+        g = jax.grad(loss)(scale)
+        eps = 1e-2
+        fd = (loss(scale.at[0].add(eps))
+              - loss(scale.at[0].add(-eps))) / (2 * eps)
+        # Emission enters linearly: gradient should match FD tightly.
+        assert np.isclose(float(g[0]), float(fd), rtol=1e-2, atol=1e-5)
+
+    def test_sphere_center_gradient_finite(self):
+        # Geometry gradients (hit point/normal w.r.t. center) are noisy
+        # at silhouettes but must be finite.
+        def loss(cz):
+            b = MaterialBuilder()
+            ground = b.lambertian((0.5, 0.5, 0.5))
+            red = b.lambertian((0.8, 0.1, 0.1))
+            scene = Scene(
+                materials=b.build(),
+                background=SkyBackground.create(),
+                spheres=Spheres(
+                    center=jnp.stack([
+                        jnp.asarray([0.0, -100.5, -2.0]),
+                        jnp.stack([0.0 * cz, 0.0 * cz, cz])]),
+                    radius=jnp.asarray([100.0, 0.5]),
+                    material=jnp.asarray([ground, red], jnp.int32)))
+            img = inverse.render_image(scene, _camera(), 8, 8, spp=2,
+                                       seed=2, max_depth=3)
+            return jnp.mean(img)
+
+        g = jax.grad(loss)(jnp.asarray(-2.0))
+        assert np.isfinite(float(g))
+
+
+class TestInverseRendering:
+    def test_recovers_albedo(self):
+        camera = _camera()
+        true_albedo = jnp.asarray([0.7, 0.2, 0.4])
+        target = inverse.render_image(_scene_with_albedo(true_albedo),
+                                      camera, 12, 12, spp=8, seed=11,
+                                      max_depth=4)
+
+        params, losses = inverse.optimize(
+            _scene_with_albedo, jnp.asarray([0.3, 0.5, 0.5]), camera,
+            12, 12, target, steps=60, learning_rate=0.05, spp=4,
+            max_depth=4, seed=100)
+        # The loss floors at the Monte Carlo variance between the target
+        # (seed 11) and the per-step seeds; parameter recovery is the
+        # real check.
+        assert losses[-1] < losses[0] * 0.6
+        np.testing.assert_allclose(np.asarray(params),
+                                   np.asarray(true_albedo), atol=0.08)
