@@ -25,22 +25,22 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main():
     from mrt.scenes import get
-    from mrt.runtime.render import render_pass
+    from mrt.runtime.render import render_pass_persistent
     from mrt.runtime.film import Film
 
     scene, camera = get("rtiow")(aspect_ratio=WIDTH / HEIGHT).generate()
 
     film = Film.create(WIDTH, HEIGHT)
-    # Warmup: compile + one sample (the same program is reused for every
-    # progressive 1-spp pass).
-    film = render_pass(scene, camera, film, 1, 0, width=WIDTH,
-                       height=HEIGHT, max_depth=MAX_DEPTH, samples=1)
+    # Warmup: compile + one sample of the ray-regeneration integrator.
+    film = render_pass_persistent(scene, camera, film, 1, 0, width=WIDTH,
+                                  height=HEIGHT, max_depth=MAX_DEPTH,
+                                  samples=1)
     film.sum.block_until_ready()
 
     t0 = time.perf_counter()
-    for i in range(SPP):
-        film = render_pass(scene, camera, film, 1, 1 + i, width=WIDTH,
-                           height=HEIGHT, max_depth=MAX_DEPTH, samples=1)
+    film = render_pass_persistent(scene, camera, film, 1, 1, width=WIDTH,
+                                  height=HEIGHT, max_depth=MAX_DEPTH,
+                                  samples=SPP)
     film.sum.block_until_ready()
     dt = time.perf_counter() - t0
 

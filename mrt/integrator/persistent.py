@@ -1,0 +1,145 @@
+"""Persistent-wavefront integrator with ray regeneration.
+
+The plain wavefront loop (`trace_wavefront`) keeps every lane occupied by
+the same path until the whole batch dies, so at depth 50 with a mean
+path length of ~3 most lanes idle ~94% of the iterations.  This module
+is the TPU analogue of persistent-threads path tracing: a fixed pool of
+P lanes consumes a queue of (pixel, sample) work items; the moment a
+path terminates its lane claims the next item and generates that
+sample's camera ray.  Contributions stream into the film with
+scatter-adds every bounce, so no per-lane radiance accumulator and no
+path ever waits on another.
+
+Equivalence: every random draw is the same pure function of
+(seed, pixel, sample, bounce) as the batched integrator, so this
+produces the same estimator with the same streams — only the float
+accumulation order differs (tested to ~1e-5 of the batch path).
+
+The reference's analogue is its thread pool re-rendering whole frames
+per pass (reference: src/main.rs:234-294); regeneration here plays the
+role of the OS scheduler keeping CPU cores busy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..math.rng import Sampler
+from ..materials import shade
+from .wavefront import MAX_DEPTH, T_MIN
+
+POOL = 1 << 17
+
+
+def render_samples_persistent(scene, camera, width, height, seed,
+                              sample_start, samples,
+                              max_depth=MAX_DEPTH, pool=POOL,
+                              film_sum=None, depth_sum=None):
+    """Render `samples` spp over the full frame into flat accumulators.
+
+    Returns (film_sum (H*W,3), depth_sum (H*W,)) — pass them back in to
+    accumulate further passes.
+    """
+    npix = width * height
+    total = npix * samples  # `samples` may be traced: total only feeds
+    # comparisons/arithmetic, never shapes, so one compile serves any spp.
+
+    if film_sum is None:
+        film_sum = jnp.zeros((npix, 3), jnp.float32)
+    if depth_sum is None:
+        depth_sum = jnp.zeros((npix,), jnp.int32)
+
+    inv_w = 1.0 / jnp.float32(width)
+    inv_h = 1.0 / jnp.float32(height)
+
+    def make_rays(item):
+        """Camera rays for work items, with the exact RNG stream of
+        wavefront.render_sample."""
+        pixel = (item % npix).astype(jnp.uint32)
+        sample = (jnp.uint32(sample_start)
+                  + (item // npix).astype(jnp.uint32))
+        px = (pixel % jnp.uint32(width)).astype(jnp.float32)
+        py = (pixel // jnp.uint32(width)).astype(jnp.float32)
+        cam = Sampler(seed, pixel + jnp.uint32(0x9E3779B9) * sample,
+                      salt=0xC0FFEE)
+        jx, jy, du, dv = cam.next4()
+        s = (px + jx) * inv_w
+        t = (py + jy) * inv_h
+        o, d = camera.rays(s, t, du, dv)
+        ray_id = pixel ^ (sample * jnp.uint32(0x85EBCA6B))
+        return o, d, ray_id
+
+    init_item = jnp.arange(pool, dtype=jnp.int32)
+    o0, d0, rid0 = make_rays(init_item)
+    state = (
+        init_item,                                   # work item / total=dead
+        jnp.zeros((pool,), jnp.int32),               # bounce
+        o0, d0,
+        jnp.ones((pool, 3), jnp.float32),            # throughput
+        rid0,
+        jnp.int32(pool),                             # next_work
+        film_sum, depth_sum,
+    )
+
+    def cond(state):
+        return jnp.any(state[0] < total)
+
+    def step(state):
+        (item, bounce, o, d, throughput, ray_id, next_work,
+         film_sum, depth_sum) = state
+        active = item < total
+        pixel = jnp.clip(item, 0, total - 1) % npix
+
+        b = bounce
+        vol_sampler = Sampler(seed, ray_id, salt=3 * b + 2)
+        hits = scene.intersect(o, d, t_min=T_MIN, sampler=vol_sampler)
+        em_sampler = Sampler(seed, ray_id, salt=3 * b)
+        sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
+        emitted = shade.emitted(scene, hits, em_sampler)
+        atten, new_dir, scattered = shade.scatter(scene, hits, d,
+                                                  sc_sampler)
+        background = scene.background_eval(d)
+
+        hit = hits.hit & active
+        miss = ~hits.hit & active
+        contrib = (jnp.where(miss[:, None], background, 0.0)
+                   + jnp.where(hit[:, None], emitted, 0.0))
+        film_sum = film_sum.at[pixel].add(
+            jnp.where(active[:, None], throughput * contrib, 0.0))
+
+        scat = hit & scattered
+        depth_sum = depth_sum.at[pixel].add(scat.astype(jnp.int32))
+        cont = scat & (b + 1 < max_depth)
+
+        # Regenerate dead lanes from the queue.
+        dead = active & ~cont
+        idle = ~active
+        claim = dead | idle
+        offsets = jnp.cumsum(claim.astype(jnp.int32)) - 1
+        new_item = next_work + offsets
+        takes = claim & (new_item < total)
+        next_work = next_work + jnp.sum(claim.astype(jnp.int32))
+        # next_work beyond total is harmless: later claims won't take.
+        next_work = jnp.minimum(next_work, jnp.int32(2 ** 30))
+
+        item = jnp.where(cont, item,
+                         jnp.where(takes, new_item, total))
+        no, nd, nrid = make_rays(jnp.where(takes, new_item, 0))
+
+        o = jnp.where(cont[:, None], hits.point,
+                      jnp.where(takes[:, None], no, o))
+        d = jnp.where(cont[:, None], new_dir,
+                      jnp.where(takes[:, None], nd, d))
+        throughput = jnp.where(
+            cont[:, None], throughput * atten,
+            jnp.where(takes[:, None], jnp.ones_like(throughput),
+                      throughput))
+        ray_id = jnp.where(cont, ray_id, jnp.where(takes, nrid, ray_id))
+        bounce = jnp.where(cont, b + 1, 0)
+
+        return (item, bounce, o, d, throughput, ray_id, next_work,
+                film_sum, depth_sum)
+
+    state = jax.lax.while_loop(cond, step, state)
+    return state[7], state[8]

@@ -46,13 +46,15 @@ def aov_pass(scene, camera, *, width, height, seed=0):
 
 def render(scene, camera, width, height, spp=64, seed=1,
            max_depth=wavefront.MAX_DEPTH, samples_per_pass=None,
-           with_aov=False, film=None, progress=None):
+           with_aov=False, film=None, progress=None, persistent=False):
     """Progressive render to `spp` total samples.
 
     Args:
       samples_per_pass: spp chunk per device program (None = all at once).
       film: resume from an existing film (checkpointed state).
       progress: optional callback(film) after each pass.
+      persistent: use the ray-regeneration integrator (fastest for deep
+        max_depth; same estimator, different FP accumulation order).
 
     Returns the accumulated Film.
     """
@@ -63,14 +65,36 @@ def render(scene, camera, width, height, spp=64, seed=1,
                                   seed=seed)
         film = film.with_aov(albedo, normal)
 
+    pass_fn = render_pass_persistent if persistent else render_pass
     chunk = samples_per_pass or spp
     done = int(film.samples)
     while done < spp:
         step = min(chunk, spp - done)
-        film = render_pass(scene, camera, film, seed, done,
-                           width=width, height=height, max_depth=max_depth,
-                           samples=step)
+        film = pass_fn(scene, camera, film, seed, done,
+                       width=width, height=height, max_depth=max_depth,
+                       samples=step)
         done += step
         if progress is not None:
             progress(film)
     return film
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "pool"))
+def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
+                           *, width, height,
+                           max_depth=wavefront.MAX_DEPTH, samples=1,
+                           pool=None):
+    """Ray-regeneration render pass (integrator.persistent): ~100% lane
+    utilisation regardless of depth — the fast path for deep bounces."""
+    from ..integrator.persistent import render_samples_persistent, POOL
+
+    film_sum, depth_sum = render_samples_persistent(
+        scene, camera, width, height, seed, sample_start, samples,
+        max_depth=max_depth, pool=pool or POOL,
+        film_sum=film.sum.reshape(-1, 3),
+        depth_sum=film.depth_sum.reshape(-1))
+    return film.replace(
+        sum=film_sum.reshape(height, width, 3),
+        depth_sum=depth_sum.reshape(height, width),
+        samples=film.samples + samples)
