@@ -61,6 +61,15 @@ def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
     bounds_min = np.asarray(bounds_min, np.float64)
     bounds_max = np.asarray(bounds_max, np.float64)
 
+    # The C++ builder implements these exact semantics ~100x faster
+    # (bit-identical output); this Python body is the fallback + spec.
+    from .. import native
+    if t > 1024:
+        result = native.bvh_build(centroids, bounds_min, bounds_max,
+                                  leaf_size)
+        if result is not None:
+            return result
+
     order = np.arange(t)
     # Worst case 2*ceil(t/leaf... ) nodes; collect then flatten.
     nodes = []  # (bmin, bmax, first|-1, count, left_child, right_child)

@@ -116,35 +116,40 @@ class MeshRegistry:
             lambda *xs: jnp.concatenate(xs, axis=0), *tris_list)
 
         # Per-instance transforms + world AABBs from the 8 transformed
-        # corners of the mesh root box (geom.rs:369-381).
+        # corners of the mesh root box (geom.rs:369-381) — vectorised:
+        # Menger-scale scenes register millions of instances
+        # (scenes/menger.rs) and a per-instance Python loop would
+        # dominate the build.
         n_inst = len(self._instances)
-        fwd = np.zeros((n_inst, 4, 4), np.float32)
-        inv = np.zeros((n_inst, 4, 4), np.float32)
-        override = np.zeros((n_inst,), np.int32)
-        roots = np.zeros((n_inst,), np.int32)
-        ends = np.zeros((n_inst,), np.int32)
-        w_min = np.zeros((n_inst, 3), np.float32)
-        w_max = np.zeros((n_inst, 3), np.float32)
-        for i, inst in enumerate(self._instances):
-            mesh = inst["mesh"]
-            f = np.asarray(m4.trs(inst["translation"], inst["rotation"],
-                                  inst["scale"]))
-            b = np.asarray(m4.trs_inverse(inst["translation"],
-                                          inst["rotation"], inst["scale"]))
-            fwd[i], inv[i] = f, b
-            override[i] = inst["material"]
-            roots[i] = node_off[mesh]
-            ends[i] = node_off[mesh] + self._meshes[mesh][0].n_nodes
-            root_min = np.asarray(self._meshes[mesh][0].bmin[0])
-            root_max = np.asarray(self._meshes[mesh][0].bmax[0])
-            corners = np.array([[root_min[0] if x == 0 else root_max[0],
-                                 root_min[1] if y == 0 else root_max[1],
-                                 root_min[2] if z == 0 else root_max[2]]
-                                for x in (0, 1) for y in (0, 1)
-                                for z in (0, 1)], np.float32)
-            wc = corners @ f[:3, :3].T + f[:3, 3]
-            w_min[i] = wc.min(axis=0)
-            w_max[i] = wc.max(axis=0)
+        tr = np.stack([i["translation"] for i in self._instances])
+        ro = np.stack([i["rotation"] for i in self._instances])
+        sc = np.stack([i["scale"] for i in self._instances])
+        mesh_ids = np.array([i["mesh"] for i in self._instances],
+                            np.int32)
+        override = np.array([i["material"] for i in self._instances],
+                            np.int32)
+
+        fwd = m4.trs_batch_np(tr, ro, sc)
+        inv = m4.trs_inverse_batch_np(tr, ro, sc)
+
+        node_off_arr = np.array(node_off, np.int32)
+        nodes_per = np.array([m[0].n_nodes for m in self._meshes],
+                             np.int32)
+        roots = node_off_arr[mesh_ids]
+        ends = roots + nodes_per[mesh_ids]
+
+        mesh_root_min = np.stack(
+            [np.asarray(m[0].bmin[0]) for m in self._meshes])[mesh_ids]
+        mesh_root_max = np.stack(
+            [np.asarray(m[0].bmax[0]) for m in self._meshes])[mesh_ids]
+        combos = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                           for z in (0, 1)], np.float32)          # (8,3)
+        corners = (mesh_root_min[:, None, :] * (1.0 - combos[None])
+                   + mesh_root_max[:, None, :] * combos[None])    # (I,8,3)
+        wc = (np.einsum("iab,icb->ica", fwd[:, :3, :3], corners)
+              + fwd[:, None, :3, 3])
+        w_min = wc.min(axis=1)
+        w_max = wc.max(axis=1)
 
         # TLAS over instance boxes, one instance per leaf.
         cent = (w_min + w_max) / 2.0

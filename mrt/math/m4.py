@@ -95,3 +95,58 @@ def trs_inverse(translation_v, rotation_turns, scale_v):
             @ rotate_y(-r[1])
             @ rotate_x(-r[0])
             @ translation(-t))
+
+
+# -- batched host-side constructors (numpy) ---------------------------------
+# Scene builds compose millions of instance transforms (e.g. the Menger
+# sponge's 3.2M cubes, scenes/menger.rs); per-instance jnp math would be
+# a Python-loop catastrophe, so these build (I,4,4) arrays vectorised.
+
+def _rot_batch_np(turns, axis):
+    import numpy as _np
+
+    a = _np.asarray(turns, _np.float32) * TAU
+    c, s = _np.cos(a), _np.sin(a)
+    n = a.shape[0]
+    m = _np.tile(_np.eye(4, dtype=_np.float32), (n, 1, 1))
+    i, j = [(1, 2), (0, 2), (0, 1)][axis]
+    m[:, i, i] = c
+    m[:, j, j] = c
+    if axis == 1:  # y: +s above diagonal
+        m[:, i, j] = s
+        m[:, j, i] = -s
+    else:
+        m[:, i, j] = -s
+        m[:, j, i] = s
+    return m
+
+
+def trs_batch_np(translation, rotation_turns, scale):
+    """Batched T @ Rx @ Ry @ Rz @ S (geom.rs:344-367), numpy (I,4,4)."""
+    import numpy as _np
+
+    t = _np.asarray(translation, _np.float32)
+    r = _np.asarray(rotation_turns, _np.float32)
+    s = _np.asarray(scale, _np.float32)
+    n = t.shape[0]
+    rot = (_rot_batch_np(r[:, 0], 0) @ _rot_batch_np(r[:, 1], 1)
+           @ _rot_batch_np(r[:, 2], 2))
+    m = rot.copy()
+    m[:, :3, :3] *= s[:, None, :]      # right-multiply by scale
+    m[:, :3, 3] = t                    # left-multiply by translation
+    return m
+
+
+def trs_inverse_batch_np(translation, rotation_turns, scale):
+    """Batched S^-1 @ Rz^-1 @ Ry^-1 @ Rx^-1 @ T^-1, numpy (I,4,4)."""
+    import numpy as _np
+
+    t = _np.asarray(translation, _np.float32)
+    r = _np.asarray(rotation_turns, _np.float32)
+    s = _np.asarray(scale, _np.float32)
+    rot = (_rot_batch_np(-r[:, 2], 2) @ _rot_batch_np(-r[:, 1], 1)
+           @ _rot_batch_np(-r[:, 0], 0))
+    m = rot.copy()
+    m[:, :3, :3] /= s[:, :, None]      # left-multiply by inverse scale
+    m[:, :3, 3] = -_np.einsum("nij,nj->ni", m[:, :3, :3], t)
+    return m
