@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -39,15 +40,49 @@ class Scene:
     tlas: Optional[Any] = None             # geometry.instance.TLAS
     volumes: Optional[Any] = None          # geometry.volumes.VolumeSpheres
     atlas: Optional[Any] = None            # textures.atlas.TextureAtlas
+    # Static: any material row can fail an alpha test (textured
+    # lambertian/metal/specular, geom.rs:567-571); enables the cutout
+    # re-cast rounds below.
+    needs_alpha: bool = struct.field(pytree_node=False, default=False)
+
+    # Cutout re-cast rounds: each round can see through one failed
+    # alpha-tested surface per ray (stacked cutouts beyond this bound
+    # render as opaque).
+    ALPHA_ROUNDS = 3
 
     def intersect(self, o, d, t_min=T_MIN, t_max=jnp.inf,
                   sampler=None) -> Hits:
         """Closest hit of each ray against every primitive set.
 
         o, d: (N, 3).  `sampler` feeds stochastic intersections (volume
-        free-flight, geom.rs:640); scenes with volumes require it.
+        free-flight, geom.rs:640, and Mix alpha re-rolls); scenes with
+        volumes or alpha testing require it.
         Returns a Hits record of length N.
         """
+        hits = self._intersect_once(o, d, t_min, t_max, sampler)
+        if self.needs_alpha and self.atlas is not None:
+            from ..materials import shade
+
+            # The reference skips candidates whose material fails the
+            # alpha test *during* traversal (geom.rs:567-571).  The
+            # wavefront equivalent: test the winner, and re-cast failed
+            # rays from just past the rejected hit — identical closest
+            # semantics, since nothing valid exists before the winner.
+            for _ in range(self.ALPHA_ROUNDS):
+                keep = shade.alpha_test(self, hits.material, hits.uv,
+                                        sampler)
+                redo = hits.hit & ~keep
+                t_min2 = jnp.where(redo, hits.t + 1e-4,
+                                   jnp.full_like(hits.t, t_min))
+                again = self._intersect_once(o, d, t_min2, t_max, sampler)
+                hits = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        redo.reshape(redo.shape + (1,) * (old.ndim - 1)),
+                        new, old),
+                    again, hits)
+        return hits
+
+    def _intersect_once(self, o, d, t_min, t_max, sampler) -> Hits:
         hits = Hits.none(o.shape[0])
         if self.spheres is not None:
             if self.sphere_bvh is not None:
@@ -195,4 +230,6 @@ class SceneBuilder:
             tlas=tlas,
             volumes=volumes,
             atlas=self._atlas,
+            needs_alpha=(self._atlas is not None
+                         and self._materials.may_alpha_test()),
         )

@@ -130,6 +130,21 @@ class MaterialBuilder:
         return self._add(EVE, tex=tex_ar, ior=1.8, tex_no=tex_no,
                          tex_pmdg=tex_pmdg, palette=palette, glow3=glow)
 
+    def may_alpha_test(self):
+        """True if any row can fail Material::alpha_test — i.e. a
+        textured Lambertian/Metal/Specular (material.rs:222-225,
+        286-288, 381-383), directly or through a Mix."""
+        def can_fail(i, depth=0):
+            if depth > MAX_MIX_DEPTH:
+                return False
+            r = self._rows[i]
+            if r["mtype"] == MIX:
+                return (can_fail(r["mix_left"], depth + 1)
+                        or can_fail(r["mix_right"], depth + 1))
+            return (r["mtype"] in (LAMBERTIAN, METAL, SPECULAR)
+                    and r["tex"] != NO_TEXTURE)
+        return any(can_fail(i) for i in range(len(self._rows)))
+
     def build(self) -> MaterialTable:
         if not self._rows:
             self.null()
