@@ -136,6 +136,23 @@ def make_hits(spheres: Spheres, o, d, t, index) -> Hits:
     )
 
 
+def _use_pallas():
+    """Pallas kernel gate: MRT_PALLAS=1 opts in (TPU), =0 forces scan."""
+    import os
+
+    flag = os.environ.get("MRT_PALLAS")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return False  # default: XLA scan until the kernel is TPU-proven
+
+
 def intersect(spheres: Spheres, o, d, t_min, t_max) -> Hits:
-    t, index = nearest_t(spheres, o, d, t_min, t_max)
+    if _use_pallas():
+        from ..ops import pallas_spheres
+
+        t, index = pallas_spheres.nearest_t(spheres, o, d, t_min, t_max)
+    else:
+        t, index = nearest_t(spheres, o, d, t_min, t_max)
     return make_hits(spheres, o, d, t, index)

@@ -1,0 +1,154 @@
+"""Pallas TPU kernel: wavefront ray-sphere nearest hit.
+
+The XLA scan in `geometry.spheres.nearest_t` materialises (chunk, N)
+temporaries in HBM between fusion boundaries; this kernel keeps the
+whole working set on-chip — the sphere SoA lives in VMEM, each grid
+program owns an (8,128)-tiled block of rays in registers, and the
+sphere loop runs entirely on the VPU with no HBM traffic besides the
+ray load and the (t, index) store.
+
+Layouts:
+  rays     (3, R, 128) float32 — component-major so each component of a
+           ray block is a native 8x128 VREG tile.
+  spheres  (4, S) float32 — rows cx, cy, cz, radius; S padded to 8.
+
+Semantics identical to geometry.spheres.nearest_t (near-then-far root
+selection of geom.rs:64-75, lowest index wins ties).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SUBLANE = 8
+BLOCK_ROWS = 8          # rays per program = BLOCK_ROWS * LANE = 1024
+INF = float('inf')  # python float: jnp scalars would be captured consts in the kernel
+
+
+def _kernel(count_ref, sph_ref, o_ref, d_ref, tmax_ref, t_out, i_out,
+            *, n_spheres):
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]        # (BR,128)
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    od = ox * dx + oy * dy + oz * dz
+    t_min = count_ref[1]
+    n_real = count_ref[0].astype(jnp.int32)
+    t_max = tmax_ref[:]
+
+    def body(s, carry):
+        bt, bi = carry
+        cx = sph_ref[0, s]
+        cy = sph_ref[1, s]
+        cz = sph_ref[2, s]
+        r = sph_ref[3, s]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        half_b = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = half_b * half_b - a * c
+        ok = (disc >= 0.0) & (s < n_real)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        r0 = (-half_b - sq) * inv_a
+        r1 = (-half_b + sq) * inv_a
+        lim = jnp.minimum(bt, t_max)
+        ok0 = ok & (r0 >= t_min) & (r0 <= lim)
+        ok1 = ok & (r1 >= t_min) & (r1 <= lim)
+        root = jnp.where(ok0, r0, jnp.where(ok1, r1, INF))
+        better = root < bt
+        return (jnp.where(better, root, bt),
+                jnp.where(better, s, bi))
+
+    init = (jnp.full_like(a, INF), jnp.zeros_like(a, dtype=jnp.int32))
+    bt, bi = jax.lax.fori_loop(0, n_spheres, body, init)
+    t_out[:] = bt
+    i_out[:] = bi
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret",))
+def nearest_t_pallas(sph, count, o3, d3, t_min, t_max2, interpret=False):
+    """Low-level entry.
+
+    sph: (4, S) sphere SoA (S multiple of 8);
+    count: () int32 real sphere count;
+    o3/d3: (3, R, 128) rays; t_max2: (R, 128).
+    Returns (t (R,128), i (R,128)).
+    """
+    r = o3.shape[1]
+    grid = (pl.cdiv(r, BLOCK_ROWS),)
+    s_pad = sph.shape[1]
+    scalars = jnp.stack([count.astype(jnp.float32),
+                         jnp.asarray(t_min, jnp.float32)])
+
+    kernel = functools.partial(_kernel, n_spheres=s_pad)
+    t, i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((4, s_pad), lambda g, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, BLOCK_ROWS, LANE),
+                             lambda g, c: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, BLOCK_ROWS, LANE),
+                             lambda g, c: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scalars, sph, o3, d3, t_max2)
+    return t, i
+
+
+def nearest_t(spheres, o, d, t_min, t_max, interpret=False):
+    """Drop-in replacement for geometry.spheres.nearest_t backed by the
+    Pallas kernel.  o, d: (N,3); returns (t (N,), i (N,))."""
+    n = o.shape[0]
+    s = spheres.count
+    s_pad = max(8, -(-s // 8) * 8)
+
+    sph = jnp.zeros((4, s_pad), jnp.float32)
+    sph = sph.at[:3, :s].set(spheres.center.T)
+    sph = sph.at[3, :s].set(spheres.radius)
+
+    block = BLOCK_ROWS * LANE
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANE
+
+    def to3(x):
+        pad = jnp.zeros((n_pad, 3), x.dtype).at[:n].set(x)
+        # pad rays point +x from far away: never hit real spheres... in
+        # fact their results are sliced off, values irrelevant.
+        return pad.T.reshape(3, rows, LANE)
+
+    o3 = to3(o)
+    d3 = to3(jnp.where(jnp.sum(d * d, axis=-1, keepdims=True) > 0.0,
+                       d, 1.0))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_max2 = jnp.full((n_pad,), INF).at[:n].set(
+        t_max_b).reshape(rows, LANE)
+
+    t, i = nearest_t_pallas(sph, jnp.asarray(s, jnp.int32), o3, d3,
+                            jnp.asarray(t_min, jnp.float32), t_max2,
+                            interpret=interpret)
+    return t.reshape(-1)[:n], i.reshape(-1)[:n]
