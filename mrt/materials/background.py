@@ -92,7 +92,7 @@ class CubeMap:
         faces = jnp.asarray([x_pos, x_neg, y_pos, y_neg, z_pos, z_neg],
                             jnp.int32)
         if transform is None:
-            transform = jnp.eye(4, jnp.float32)
+            transform = jnp.eye(4, dtype=jnp.float32)
         return cls(faces=faces, transform=jnp.asarray(transform, jnp.float32))
 
     def eval(self, directions, atlas=None):

@@ -32,4 +32,4 @@ def names():
     return sorted(_REGISTRY)
 
 
-from . import rtiow, cornell, sphere_grid, lucy, menger, eve  # noqa: E402,F401
+from . import rtiow, cornell, sphere_grid, lucy, menger, eve, playground  # noqa: E402,F401

@@ -114,3 +114,48 @@ class TestDriver:
         assert args.scene == "cornell"
         assert args.spp == 16
         assert args.mesh_tile == 4
+
+
+class TestDynamicScene:
+    def test_input_moves_player(self):
+        from mrt.scenes.playground import Playground
+
+        sc = Playground()
+        inp = InputCollection(stick_x=1.0)
+        sc.generate(0.0, 0, inp)
+        x_after_1 = float(sc.pos[0])
+        sc.generate(0.03, 1, inp)
+        assert float(sc.pos[0]) > x_after_1 > 0.0
+
+    def test_replay_is_deterministic(self, tmp_path):
+        from mrt.scenes.playground import Playground
+
+        frames = [InputCollection(stick_x=0.5, button_a=(i == 3))
+                  for i in range(8)]
+        rec = InputRecorder()
+        for f in frames:
+            rec.record(f)
+        p = str(tmp_path / "in.bin")
+        rec.save(p)
+
+        def run_with(source):
+            sc = Playground()
+            for i in range(8):
+                sc.generate(i / 8.0, i, source(i))
+            return sc.pos.copy()
+
+        live = run_with(lambda i: frames[i])
+        replay = InputReplay(p)
+        replayed = run_with(lambda i: replay.frame(i))
+        np.testing.assert_array_equal(live, replayed)
+
+    def test_platform_animates(self):
+        from mrt.scenes.playground import Playground
+
+        sc = Playground()
+        s0, _ = sc.generate(0.0, 0, None)
+        s1, _ = sc.generate(0.25, 1, None)
+        # The dielectric platform instance moved between frames.
+        t0 = np.asarray(s0.tlas.transform)[-1, 0, 3]
+        t1 = np.asarray(s1.tlas.transform)[-1, 0, 3]
+        assert abs(t1 - t0) > 1.0
