@@ -35,13 +35,21 @@ POOL = 1 << 17
 def render_samples_persistent(scene, camera, width, height, seed,
                               sample_start, samples,
                               max_depth=MAX_DEPTH, pool=POOL,
-                              film_sum=None, depth_sum=None):
-    """Render `samples` spp over the full frame into flat accumulators.
+                              film_sum=None, depth_sum=None,
+                              pixel_offset=0, n_pixels=None,
+                              sample_stride=1):
+    """Render `samples` spp over a pixel range into flat accumulators.
 
-    Returns (film_sum (H*W,3), depth_sum (H*W,)) — pass them back in to
-    accumulate further passes.
+    Single-device renders use the defaults (the whole frame).  Sharded
+    renders pass `pixel_offset`/`n_pixels` to own a row tile and
+    `sample_stride` so spp-axis ranks interleave sample indices —
+    global pixel ids and sample numbers feed the RNG, keeping every
+    draw identical to the single-device render.
+
+    Returns (film_sum (n_pixels,3), depth_sum (n_pixels,)) — pass them
+    back in to accumulate further passes.
     """
-    npix = width * height
+    npix = n_pixels if n_pixels is not None else width * height
     total = npix * samples  # `samples` may be traced: total only feeds
     # comparisons/arithmetic, never shapes, so one compile serves any spp.
 
@@ -50,15 +58,28 @@ def render_samples_persistent(scene, camera, width, height, seed,
     if depth_sum is None:
         depth_sum = jnp.zeros((npix,), jnp.int32)
 
+    # Varying-axes seed: loop-carry inits must inherit the varying type
+    # of the shard inputs under shard_map (no-op zeros otherwise).
+    vzero_f = (film_sum.ravel()[0] * 0.0
+               + jnp.asarray(sample_start, jnp.float32) * 0.0)
+    vzero_i = vzero_f.astype(jnp.int32)
+    # The film carries themselves need the promotion too: their inputs
+    # vary only over the tile axis, but the body's scatter-adds vary
+    # over the spp axis (sample indices are rank-strided).
+    film_sum = film_sum + vzero_f
+    depth_sum = depth_sum + vzero_i
+
     inv_w = 1.0 / jnp.float32(width)
     inv_h = 1.0 / jnp.float32(height)
 
     def make_rays(item):
         """Camera rays for work items, with the exact RNG stream of
         wavefront.render_sample."""
-        pixel = (item % npix).astype(jnp.uint32)
+        pixel = (jnp.uint32(pixel_offset)
+                 + (item % npix).astype(jnp.uint32))
         sample = (jnp.uint32(sample_start)
-                  + (item // npix).astype(jnp.uint32))
+                  + (item // npix).astype(jnp.uint32)
+                  * jnp.uint32(sample_stride))
         px = (pixel % jnp.uint32(width)).astype(jnp.float32)
         py = (pixel // jnp.uint32(width)).astype(jnp.float32)
         cam = Sampler(seed, pixel + jnp.uint32(0x9E3779B9) * sample,
@@ -70,15 +91,15 @@ def render_samples_persistent(scene, camera, width, height, seed,
         ray_id = pixel ^ (sample * jnp.uint32(0x85EBCA6B))
         return o, d, ray_id
 
-    init_item = jnp.arange(pool, dtype=jnp.int32)
+    init_item = jnp.arange(pool, dtype=jnp.int32) + vzero_i
     o0, d0, rid0 = make_rays(init_item)
     state = (
         init_item,                                   # work item / total=dead
-        jnp.zeros((pool,), jnp.int32),               # bounce
+        jnp.zeros((pool,), jnp.int32) + vzero_i,     # bounce
         o0, d0,
-        jnp.ones((pool, 3), jnp.float32),            # throughput
+        jnp.ones_like(o0),                           # throughput
         rid0,
-        jnp.int32(pool),                             # next_work
+        jnp.int32(pool) + vzero_i,                   # next_work
         film_sum, depth_sum,
     )
 
@@ -89,7 +110,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
         (item, bounce, o, d, throughput, ray_id, next_work,
          film_sum, depth_sum) = state
         active = item < total
-        pixel = jnp.clip(item, 0, total - 1) % npix
+        pixel = jnp.clip(item, 0, total - 1) % npix  # local index
 
         b = bounce
         vol_sampler = Sampler(seed, ray_id, salt=3 * b + 2)

@@ -119,7 +119,7 @@ def shard_film(film: Film, mesh) -> Film:
 
 def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
                    max_depth=wavefront.MAX_DEPTH, samples_per_pass=None,
-                   film=None):
+                   film=None, persistent=False):
     """Progressive multi-device render (the multi-chip `runtime.render`).
 
     Returns the accumulated film (still row-sharded; arrays gather
@@ -129,8 +129,10 @@ def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
         film = Film.create(width, height)
     film = shard_film(film, mesh)
 
+    pass_fn = (render_pass_sharded_persistent if persistent
+               else render_pass_sharded)
     jitted = jax.jit(
-        partial(render_pass_sharded, width=width, height=height,
+        partial(pass_fn, width=width, height=height,
                 max_depth=max_depth, mesh=mesh),
         static_argnames=("samples",))
 
@@ -141,3 +143,54 @@ def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
         film = jitted(scene, camera, film, seed, done, samples=step)
         done += step
     return film
+
+
+def render_pass_sharded_persistent(scene, camera, film: Film, seed,
+                                   sample_start, *, width, height,
+                                   samples, max_depth, mesh, pool=None):
+    """Multi-device ray-regeneration pass: each device's lane pool
+    consumes its own (row-tile x sample-stride) work queue; the only
+    collective is one psum of the spp-axis contribution deltas."""
+    from ..integrator.persistent import render_samples_persistent, POOL
+
+    n_tile = mesh.shape[TILE_AXIS]
+    n_spp = mesh.shape[SPP_AXIS]
+    if height % n_tile:
+        raise ValueError(f"height {height} % tile axis {n_tile} != 0")
+    if samples % n_spp:
+        raise ValueError(f"samples {samples} % spp axis {n_spp} != 0")
+    rows_per = height // n_tile
+    my_samples = samples // n_spp
+    pool = pool or POOL
+
+    def shard_fn(scene, camera, film_sum, film_depth, film_samples):
+        tile = jax.lax.axis_index(TILE_AXIS)
+        spp_r = jax.lax.axis_index(SPP_AXIS)
+        fs_in = film_sum.reshape(-1, 3)
+        ds_in = film_depth.reshape(-1)
+        fs_out, ds_out = render_samples_persistent(
+            scene, camera, width, height, seed,
+            jnp.asarray(sample_start) + spp_r, my_samples,
+            max_depth=max_depth, pool=pool,
+            film_sum=fs_in, depth_sum=ds_in,
+            pixel_offset=tile * rows_per * width,
+            n_pixels=rows_per * width,
+            sample_stride=n_spp)
+        # Each spp rank added its own samples on top of the shared base;
+        # psum the deltas so the base isn't multiplied.
+        fs = fs_in + jax.lax.psum(fs_out - fs_in, SPP_AXIS)
+        ds = ds_in + jax.lax.psum(ds_out - ds_in, SPP_AXIS)
+        return (fs.reshape(rows_per, width, 3),
+                ds.reshape(rows_per, width),
+                film_samples + samples)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(TILE_AXIS, None, None), P(TILE_AXIS, None),
+                  P()),
+        out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS, None), P()),
+    )
+    new_sum, new_depth, new_samples = fn(
+        scene, camera, film.sum, film.depth_sum, film.samples)
+    return film.replace(sum=new_sum, depth_sum=new_depth,
+                        samples=new_samples)

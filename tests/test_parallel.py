@@ -80,3 +80,23 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("tile,spp", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_persistent_matches(reference_render, tile, spp):
+    from mrt.parallel.render import (render_pass_sharded_persistent,
+                                     shard_film)
+    from mrt.runtime.film import Film
+
+    scene, camera = _scene(), _camera()
+    mesh = make_mesh(tile=tile, spp=spp)
+    film = shard_film(Film.create(16, 16), mesh)
+    fn = jax.jit(lambda s, c, f: render_pass_sharded_persistent(
+        s, c, f, 7, 0, width=16, height=16, samples=8, max_depth=6,
+        mesh=mesh, pool=512))
+    film = fn(scene, camera, film)
+    ref_sum, ref_depth = reference_render
+    np.testing.assert_allclose(np.asarray(film.sum), ref_sum,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(film.depth_sum), ref_depth)
+    assert int(film.samples) == 8
