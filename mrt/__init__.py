@@ -32,7 +32,10 @@ import os as _os
 # while_loop x ray batching) and this environment's remote compiles are
 # slow; caching them across processes cuts cold starts from minutes to
 # seconds.  Opt out with MRT_NO_COMPILE_CACHE=1.
-if not _os.environ.get("MRT_NO_COMPILE_CACHE"):
+if (not _os.environ.get("MRT_NO_COMPILE_CACHE")
+        and _os.environ.get("JAX_PLATFORMS", "").lower()
+        not in ("cpu", "")):
+    # TPU-only: CPU AOT entries written on other machines mis-load.
     import jax as _jax
 
     _cache_dir = _os.environ.get(
