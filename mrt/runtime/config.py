@@ -40,6 +40,10 @@ class RenderConfig:
     mesh_spp: int = 1
     # Profiling (SURVEY §5: jax.profiler traces)
     profile_dir: Optional[str] = None
+    # Progressive preview: re-export the output PNG after every pass
+    # (the headless stand-in for the reference's live window updates,
+    # main.rs:274-278).
+    preview: bool = False
 
     @property
     def aspect_ratio(self):

@@ -83,7 +83,12 @@ def run(config: RenderConfig, log=print):
                 log(f"resuming from {config.checkpoint} at "
                     f"{int(film.samples)} spp")
             t0 = time.time()
-            film = render_frame(scene, camera, config, film=film)
+            progress = None
+            if config.preview:
+                def progress(f, _cfg=config):
+                    export(f, _cfg.output, _cfg)
+            film = render_frame(scene, camera, config, film=film,
+                                progress=progress)
             film.sum.block_until_ready()
             log(f"rendered {config.spp} spp in {time.time() - t0:.1f}s")
             if config.checkpoint:
