@@ -41,6 +41,9 @@ def build_parser():
     p.add_argument("--mesh-tile", type=int, default=None,
                    help="tile-axis size for multi-device rendering")
     p.add_argument("--mesh-spp", type=int, default=1)
+    p.add_argument("--batched", dest="persistent", action="store_false",
+                   help="use the batched integrator instead of the "
+                        "persistent ray-regeneration one")
     p.add_argument("--preview", action="store_true",
                    help="rewrite the output PNG after every pass")
     p.add_argument("--profile-dir", default=None,

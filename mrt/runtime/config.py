@@ -44,6 +44,9 @@ class RenderConfig:
     # (the headless stand-in for the reference's live window updates,
     # main.rs:274-278).
     preview: bool = False
+    # Integrator: ray-regeneration persistent wavefront (fast path) vs
+    # the batched loop (identical estimator).
+    persistent: bool = True
 
     @property
     def aspect_ratio(self):

@@ -40,7 +40,8 @@ def render_frame(scene, camera, config: RenderConfig, film=None,
         film = render_sharded(
             scene, camera, config.width, config.height, mesh,
             spp=config.spp, seed=config.seed, max_depth=config.max_depth,
-            samples_per_pass=config.samples_per_pass, film=film)
+            samples_per_pass=config.samples_per_pass, film=film,
+            persistent=config.persistent)
         if needs_aov:
             from .render import aov_pass
             albedo, normal = aov_pass(scene, camera, width=config.width,
@@ -52,7 +53,8 @@ def render_frame(scene, camera, config: RenderConfig, film=None,
                   spp=config.spp, seed=config.seed,
                   max_depth=config.max_depth,
                   samples_per_pass=config.samples_per_pass,
-                  with_aov=needs_aov, film=film, progress=progress)
+                  with_aov=needs_aov, film=film, progress=progress,
+                  persistent=config.persistent)
 
 
 def export(film: Film, path, config: RenderConfig):
