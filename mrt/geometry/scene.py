@@ -40,6 +40,9 @@ class Scene:
     tlas: Optional[Any] = None             # geometry.instance.TLAS
     volumes: Optional[Any] = None          # geometry.volumes.VolumeSpheres
     atlas: Optional[Any] = None            # textures.atlas.TextureAtlas
+    lights: Optional[Any] = None           # materials.lights.LightTable
+    #   non-None => the integrator adds next-event estimation (a
+    #   different, faster-converging estimator; see materials/lights.py)
     # Static: any material row can fail an alpha test (textured
     # lambertian/metal/specular, geom.rs:567-571); enables the cutout
     # re-cast rounds below.
@@ -124,6 +127,15 @@ class Scene:
         return self.background.eval(d, atlas=self.atlas)
 
 
+def attach_lights(scene: Scene) -> Scene:
+    """Opt in to next-event estimation: harvest emissive geometry into
+    a light table (no-op when the scene has no lights)."""
+    from ..materials.lights import collect_lights
+
+    table = collect_lights(scene)
+    return scene if table is None else scene.replace(lights=table)
+
+
 class SceneBuilder:
     """Host-side accumulator mirroring the reference's World + Model
     pattern (world.rs:109-115, geom.rs:281-314)."""
@@ -180,7 +192,8 @@ class SceneBuilder:
     # small counts; traversal overhead dominates below ~tens).
     SPHERE_BVH_THRESHOLD = 64
 
-    def build(self) -> Scene:
+    def build(self, nee=False) -> Scene:
+        """nee=True attaches a light table (next-event estimation)."""
         import jax
 
         spheres = None
@@ -221,7 +234,7 @@ class SceneBuilder:
                 material=jnp.asarray(
                     np.array([v[3] for v in self._volumes], np.int32)))
 
-        return Scene(
+        scene = Scene(
             materials=self._materials.build(),
             background=self._background,
             spheres=spheres,
@@ -233,3 +246,4 @@ class SceneBuilder:
             needs_alpha=(self._atlas is not None
                          and self._materials.may_alpha_test()),
         )
+        return attach_lights(scene) if nee else scene

@@ -93,6 +93,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
 
     init_item = jnp.arange(pool, dtype=jnp.int32) + vzero_i
     o0, d0, rid0 = make_rays(init_item)
+    false_lanes = jnp.zeros((pool,), bool) | (vzero_i != 0)
     state = (
         init_item,                                   # work item / total=dead
         jnp.zeros((pool,), jnp.int32) + vzero_i,     # bounce
@@ -101,6 +102,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
         rid0,
         jnp.int32(pool) + vzero_i,                   # next_work
         film_sum, depth_sum,
+        false_lanes,                                 # prev_nee
     )
 
     def cond(state):
@@ -108,7 +110,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
 
     def step(state):
         (item, bounce, o, d, throughput, ray_id, next_work,
-         film_sum, depth_sum) = state
+         film_sum, depth_sum, prev_nee) = state
         active = item < total
         pixel = jnp.clip(item, 0, total - 1) % npix  # local index
 
@@ -124,10 +126,32 @@ def render_samples_persistent(scene, camera, width, height, seed,
 
         hit = hits.hit & active
         miss = ~hits.hit & active
+
+        if scene.lights is not None:
+            # NEE suppression (see wavefront._bounce).
+            from ..materials import table as T
+
+            is_light = (scene.materials.mtype[hits.material]
+                        == T.DIFFUSE_LIGHT)
+            emitted = jnp.where((prev_nee & is_light)[:, None], 0.0,
+                                emitted)
+
         contrib = (jnp.where(miss[:, None], background, 0.0)
                    + jnp.where(hit[:, None], emitted, 0.0))
         film_sum = film_sum.at[pixel].add(
             jnp.where(active[:, None], throughput * contrib, 0.0))
+
+        did_nee = jnp.zeros_like(hit)
+        if scene.lights is not None:
+            from ..materials import lights as lights_mod
+
+            nee_sampler = Sampler(seed, ray_id, salt=(1 << 30) + 3 * b)
+            direct, did_nee = lights_mod.sample_direct(scene, hits,
+                                                       nee_sampler)
+            did_nee = did_nee & hit
+            film_sum = film_sum.at[pixel].add(
+                jnp.where(did_nee[:, None],
+                          throughput * atten * direct, 0.0))
 
         scat = hit & scattered
         depth_sum = depth_sum.at[pixel].add(scat.astype(jnp.int32))
@@ -158,9 +182,10 @@ def render_samples_persistent(scene, camera, width, height, seed,
                       throughput))
         ray_id = jnp.where(cont, ray_id, jnp.where(takes, nrid, ray_id))
         bounce = jnp.where(cont, b + 1, 0)
+        prev_nee = did_nee & cont
 
         return (item, bounce, o, d, throughput, ray_id, next_work,
-                film_sum, depth_sum)
+                film_sum, depth_sum, prev_nee)
 
     state = jax.lax.while_loop(cond, step, state)
     return state[7], state[8]

@@ -36,7 +36,7 @@ T_MIN = 1e-3  # world.rs:68: intersect(ray, 0.001, inf)
 
 def _bounce(scene, ray_id, seed, b, state):
     """One wavefront bounce: intersect, shade, terminate/continue."""
-    o, d, throughput, radiance, alive, bounces = state
+    o, d, throughput, radiance, alive, bounces, prev_nee = state
     # Per-bounce samplers: every draw is a pure function of
     # (seed, ray_id, bounce), so results are schedule-invariant.
     vol_sampler = Sampler(seed, ray_id, salt=3 * b + 2)
@@ -54,16 +54,38 @@ def _bounce(scene, ray_id, seed, b, state):
     hit = hits.hit & live
     miss = ~hits.hit & live
 
+    if scene.lights is not None:
+        # NEE (beyond-reference, opt-in): the previous vertex sampled
+        # the lights directly, so emission found again by the BSDF
+        # continuation must not double count.
+        from ..materials import table as T
+
+        is_light = (scene.materials.mtype[hits.material]
+                    == T.DIFFUSE_LIGHT)
+        emitted = jnp.where((prev_nee & is_light)[:, None], 0.0, emitted)
+
     contrib = (jnp.where(miss[:, None], background, 0.0)
                + jnp.where(hit[:, None], emitted, 0.0))
     radiance = radiance + throughput * contrib
+
+    did_nee = jnp.zeros_like(hit)
+    if scene.lights is not None:
+        from ..materials import lights as lights_mod
+
+        # High-salt stream: never collides with the 3b+k bounce salts.
+        nee_sampler = Sampler(seed, ray_id, salt=(1 << 30) + 3 * b)
+        direct, did_nee = lights_mod.sample_direct(scene, hits,
+                                                   nee_sampler)
+        did_nee = did_nee & hit
+        radiance = radiance + jnp.where(
+            did_nee[:, None], throughput * atten * direct, 0.0)
 
     cont = hit & scattered
     throughput = jnp.where(cont[:, None], throughput * atten, throughput)
     o = jnp.where(cont[:, None], hits.point, o)
     d = jnp.where(cont[:, None], new_dir, d)
     bounces = bounces + cont.astype(jnp.int32)
-    return (o, d, throughput, radiance, cont, bounces)
+    return (o, d, throughput, radiance, cont, bounces, did_nee & cont)
 
 
 def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
@@ -96,6 +118,7 @@ def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
         jnp.zeros_like(o),
         jnp.full_like(o[:, 0], True, dtype=bool),
         jnp.zeros_like(o[:, 0], dtype=jnp.int32),
+        jnp.full_like(o[:, 0], False, dtype=bool),   # prev_nee
     )
 
     if differentiable:
@@ -119,7 +142,8 @@ def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
         # reference's recursion gets this for free; a fori_loop wouldn't).
         return (b < max_depth) & jnp.any(state[4])
 
-    _, (o, d, throughput, radiance, alive, bounces) = jax.lax.while_loop(
+    _, (o, d, throughput, radiance, alive, bounces,
+        _prev_nee) = jax.lax.while_loop(
         any_alive, bounce, (jnp.int32(0), init))
     # Rays still alive after max_depth bounces contribute black for the
     # remaining path — already the case since we never added their tail.

@@ -47,6 +47,9 @@ class RenderConfig:
     # Integrator: ray-regeneration persistent wavefront (fast path) vs
     # the batched loop (identical estimator).
     persistent: bool = True
+    # Next-event estimation (beyond-reference): direct light sampling
+    # for much faster convergence on emissive scenes.
+    nee: bool = False
 
     @property
     def aspect_ratio(self):

@@ -78,6 +78,9 @@ def run(config: RenderConfig, log=print):
         if not config.animate:
             inp = replay.frame(0) if replay else InputCollection()
             scene, camera = sc.generate(0.0, 0, inp)
+            if config.nee:
+                from ..geometry.scene import attach_lights
+                scene = attach_lights(scene)
             film = None
             if config.checkpoint and os.path.exists(config.checkpoint):
                 film, seed = Film.load_state(config.checkpoint)
@@ -109,6 +112,9 @@ def run(config: RenderConfig, log=print):
             if recorder is not None:
                 recorder.record(inp)
             scene, camera = sc.generate(t, frame, inp)
+            if config.nee:
+                from ..geometry.scene import attach_lights
+                scene = attach_lights(scene)
             film = render_frame(scene, camera,
                                 _frame_config(config), film=None)
             film.sum.block_until_ready()
