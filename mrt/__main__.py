@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--mesh-tile", type=int, default=None,
                    help="tile-axis size for multi-device rendering")
     p.add_argument("--mesh-spp", type=int, default=1)
+    p.add_argument("--rr-depth", type=int, default=None,
+                   help="Russian roulette start bounce (default off)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation (direct light sampling)")
     p.add_argument("--batched", dest="persistent", action="store_false",

@@ -37,7 +37,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
                               max_depth=MAX_DEPTH, pool=POOL,
                               film_sum=None, depth_sum=None,
                               pixel_offset=0, n_pixels=None,
-                              sample_stride=1):
+                              sample_stride=1, rr_depth=None):
     """Render `samples` spp over a pixel range into flat accumulators.
 
     Single-device renders use the defaults (the whole frame).  Sharded
@@ -154,8 +154,23 @@ def render_samples_persistent(scene, camera, width, height, seed,
                           throughput * atten * direct, 0.0))
 
         scat = hit & scattered
-        depth_sum = depth_sum.at[pixel].add(scat.astype(jnp.int32))
         cont = scat & (b + 1 < max_depth)
+
+        if rr_depth is not None:
+            # Russian roulette (see wavefront._bounce).  Applied to
+            # `scat` (not the depth-gated cont) so the bounce counts
+            # match the batched integrator exactly.
+            rr_sampler = Sampler(seed, ray_id, salt=(1 << 29) + b)
+            tp_next = throughput * atten
+            p_survive = jnp.clip(jnp.max(tp_next, axis=-1), 0.05, 1.0)
+            roll = rr_sampler.next1() < p_survive
+            apply_rr = scat & (b >= rr_depth)
+            scat = scat & (~apply_rr | roll)
+            cont = cont & scat
+            atten = jnp.where(apply_rr[:, None],
+                              atten / p_survive[:, None], atten)
+
+        depth_sum = depth_sum.at[pixel].add(scat.astype(jnp.int32))
 
         # Regenerate dead lanes from the queue.
         dead = active & ~cont

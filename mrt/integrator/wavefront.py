@@ -34,8 +34,14 @@ MAX_DEPTH = 50
 T_MIN = 1e-3  # world.rs:68: intersect(ray, 0.001, inf)
 
 
-def _bounce(scene, ray_id, seed, b, state):
-    """One wavefront bounce: intersect, shade, terminate/continue."""
+def _bounce(scene, ray_id, seed, b, state, rr_depth=None):
+    """One wavefront bounce: intersect, shade, terminate/continue.
+
+    rr_depth: static; from that bounce on, paths survive Russian
+    roulette with probability max(throughput) and are reweighted —
+    an opt-in, unbiased way to kill deep low-energy paths early
+    (beyond-reference; the reference runs every path to MAX_DEPTH).
+    """
     o, d, throughput, radiance, alive, bounces, prev_nee = state
     # Per-bounce samplers: every draw is a pure function of
     # (seed, ray_id, bounce), so results are schedule-invariant.
@@ -82,6 +88,17 @@ def _bounce(scene, ray_id, seed, b, state):
 
     cont = hit & scattered
     throughput = jnp.where(cont[:, None], throughput * atten, throughput)
+
+    if rr_depth is not None:
+        rr_sampler = Sampler(seed, ray_id, salt=(1 << 29) + b)
+        p_survive = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+        roll = rr_sampler.next1() < p_survive
+        apply_rr = cont & (b >= rr_depth)
+        cont = cont & (~apply_rr | roll)
+        throughput = jnp.where(apply_rr[:, None],
+                               throughput / p_survive[:, None],
+                               throughput)
+
     o = jnp.where(cont[:, None], hits.point, o)
     d = jnp.where(cont[:, None], new_dir, d)
     bounces = bounces + cont.astype(jnp.int32)
@@ -89,7 +106,7 @@ def _bounce(scene, ray_id, seed, b, state):
 
 
 def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
-                    differentiable=False):
+                    differentiable=False, rr_depth=None):
     """Trace N rays to completion.
 
     Args:
@@ -124,7 +141,8 @@ def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
     if differentiable:
         @jax.checkpoint
         def scan_body(state, b):
-            return _bounce(scene, ray_id, seed, b, state), None
+            return _bounce(scene, ray_id, seed, b, state,
+                           rr_depth=rr_depth), None
 
         state, _ = jax.lax.scan(scan_body, init,
                                 jnp.arange(max_depth, dtype=jnp.int32))
@@ -132,7 +150,8 @@ def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
 
     def bounce(carry):
         b, state = carry
-        return (b + 1, _bounce(scene, ray_id, seed, b, state))
+        return (b + 1, _bounce(scene, ray_id, seed, b, state,
+                               rr_depth=rr_depth))
 
     def any_alive(carry):
         b, state = carry
@@ -156,7 +175,7 @@ RAY_BATCH = 1 << 17
 
 
 def trace_batched(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
-                  batch_size=RAY_BATCH):
+                  batch_size=RAY_BATCH, rr_depth=None):
     """trace_wavefront in fixed-size sequential batches via lax.map.
 
     Keeps peak memory flat for arbitrarily large frames; the pad lanes
@@ -165,7 +184,7 @@ def trace_batched(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
     n = o.shape[0]
     if n <= batch_size:
         return trace_wavefront(scene, o, d, ray_id, seed,
-                               max_depth=max_depth)
+                               max_depth=max_depth, rr_depth=rr_depth)
     k = -(-n // batch_size)
     pad = k * batch_size - n
 
@@ -180,7 +199,7 @@ def trace_batched(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
     def body(args):
         ob, db, ib = args
         return trace_wavefront(scene, ob, db, ib, seed,
-                               max_depth=max_depth)
+                               max_depth=max_depth, rr_depth=rr_depth)
 
     radiance, bounces = jax.lax.map(body, (o_b, d_b, id_b))
     return (radiance.reshape(k * batch_size, 3)[:n],
@@ -188,7 +207,7 @@ def trace_batched(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
 
 
 def render_sample(scene, camera, width, height, seed, sample_index,
-                  max_depth=MAX_DEPTH, dtype=jnp.float32):
+                  max_depth=MAX_DEPTH, dtype=jnp.float32, rr_depth=None):
     """Render one 1-spp pass over the full frame (the unit of progressive
     accumulation, mirroring one reference render-thread pass,
     main.rs:256-264).
@@ -212,6 +231,7 @@ def render_sample(scene, camera, width, height, seed, sample_index,
     o, d = camera.rays(s, t, du, dv)
     sample_salt = jnp.uint32(sample_index) * jnp.uint32(0x85EBCA6B)
     radiance, bounces = trace_batched(
-        scene, o, d, ray_id ^ sample_salt, seed, max_depth=max_depth)
+        scene, o, d, ray_id ^ sample_salt, seed, max_depth=max_depth,
+        rr_depth=rr_depth)
     return (radiance.reshape(height, width, 3).astype(dtype),
             bounces.reshape(height, width))

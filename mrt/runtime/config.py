@@ -50,6 +50,9 @@ class RenderConfig:
     # Next-event estimation (beyond-reference): direct light sampling
     # for much faster convergence on emissive scenes.
     nee: bool = False
+    # Russian roulette start depth (None = off, matching the reference);
+    # unbiased early termination of low-energy paths.
+    rr_depth: Optional[int] = None
 
     @property
     def aspect_ratio(self):

@@ -54,7 +54,7 @@ def render_frame(scene, camera, config: RenderConfig, film=None,
                   max_depth=config.max_depth,
                   samples_per_pass=config.samples_per_pass,
                   with_aov=needs_aov, film=film, progress=progress,
-                  persistent=config.persistent)
+                  persistent=config.persistent, rr_depth=config.rr_depth)
 
 
 def export(film: Film, path, config: RenderConfig):
@@ -88,13 +88,30 @@ def run(config: RenderConfig, log=print):
                 log(f"resuming from {config.checkpoint} at "
                     f"{int(film.samples)} spp")
             t0 = time.time()
-            progress = None
-            if config.preview:
-                def progress(f, _cfg=config):
+
+            def progress(f, _cfg=config):
+                # Progressive checkpointing doubles as elastic recovery:
+                # a device fault mid-render resumes from the last pass
+                # (the reference loses everything, SURVEY §5).
+                if _cfg.checkpoint:
+                    f.save_state(_cfg.checkpoint, seed=_cfg.seed)
+                if _cfg.preview:
                     export(f, _cfg.output, _cfg)
-            film = render_frame(scene, camera, config, film=film,
-                                progress=progress)
-            film.sum.block_until_ready()
+
+            attempts = 3 if config.checkpoint else 1
+            for attempt in range(attempts):
+                try:
+                    film = render_frame(scene, camera, config, film=film,
+                                        progress=progress)
+                    film.sum.block_until_ready()
+                    break
+                except Exception as e:
+                    if attempt + 1 == attempts:
+                        raise
+                    log(f"render attempt {attempt + 1} failed ({e}); "
+                        f"resuming from checkpoint")
+                    if os.path.exists(config.checkpoint):
+                        film, _ = Film.load_state(config.checkpoint)
             log(f"rendered {config.spp} spp in {time.time() - t0:.1f}s")
             if config.checkpoint:
                 film.save_state(config.checkpoint, seed=config.seed)

@@ -19,9 +19,10 @@ from .film import Film
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
-                                   "samples"))
+                                   "samples", "rr_depth"))
 def render_pass(scene, camera, film: Film, seed, sample_start, *,
-                width, height, max_depth=wavefront.MAX_DEPTH, samples=1):
+                width, height, max_depth=wavefront.MAX_DEPTH, samples=1,
+                rr_depth=None):
     """Render `samples` 1-spp frames and merge into the film.
 
     The spp loop is a `lax.fori_loop` so any sample count compiles to one
@@ -32,7 +33,7 @@ def render_pass(scene, camera, film: Film, seed, sample_start, *,
     def body(i, film):
         radiance, bounces = wavefront.render_sample(
             scene, camera, width, height, seed, sample_start + i,
-            max_depth=max_depth)
+            max_depth=max_depth, rr_depth=rr_depth)
         return film.merge(radiance, bounces)
 
     return jax.lax.fori_loop(0, samples, body, film)
@@ -46,7 +47,8 @@ def aov_pass(scene, camera, *, width, height, seed=0):
 
 def render(scene, camera, width, height, spp=64, seed=1,
            max_depth=wavefront.MAX_DEPTH, samples_per_pass=None,
-           with_aov=False, film=None, progress=None, persistent=False):
+           with_aov=False, film=None, progress=None, persistent=False,
+           rr_depth=None):
     """Progressive render to `spp` total samples.
 
     Args:
@@ -72,7 +74,7 @@ def render(scene, camera, width, height, spp=64, seed=1,
         step = min(chunk, spp - done)
         film = pass_fn(scene, camera, film, seed, done,
                        width=width, height=height, max_depth=max_depth,
-                       samples=step)
+                       samples=step, rr_depth=rr_depth)
         done += step
         if progress is not None:
             progress(film)
@@ -80,11 +82,11 @@ def render(scene, camera, width, height, spp=64, seed=1,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
-                                   "pool"))
+                                   "pool", "rr_depth"))
 def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
                            *, width, height,
                            max_depth=wavefront.MAX_DEPTH, samples=1,
-                           pool=None):
+                           pool=None, rr_depth=None):
     """Ray-regeneration render pass (integrator.persistent): ~100% lane
     utilisation regardless of depth — the fast path for deep bounces."""
     from ..integrator.persistent import render_samples_persistent, POOL
@@ -93,7 +95,7 @@ def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
         scene, camera, width, height, seed, sample_start, samples,
         max_depth=max_depth, pool=pool or POOL,
         film_sum=film.sum.reshape(-1, 3),
-        depth_sum=film.depth_sum.reshape(-1))
+        depth_sum=film.depth_sum.reshape(-1), rr_depth=rr_depth)
     return film.replace(
         sum=film_sum.reshape(height, width, 3),
         depth_sum=depth_sum.reshape(height, width),

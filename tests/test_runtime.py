@@ -159,3 +159,38 @@ class TestDynamicScene:
         t0 = np.asarray(s0.tlas.transform)[-1, 0, 3]
         t1 = np.asarray(s1.tlas.transform)[-1, 0, 3]
         assert abs(t1 - t0) > 1.0
+
+
+class TestElasticRecovery:
+    def test_retry_resumes_from_checkpoint(self, tmp_path, monkeypatch):
+        """A device fault mid-render resumes from the last checkpointed
+        pass instead of starting over (SURVEY §5 gap)."""
+        from mrt.runtime import driver as drv
+
+        out = str(tmp_path / "f.png")
+        ckpt = str(tmp_path / "s.npz")
+        config = RenderConfig(scene="rtiow", width=16, height=9, spp=4,
+                              max_depth=3, samples_per_pass=2,
+                              output=out, checkpoint=ckpt)
+        calls = {"n": 0}
+        real = drv.render_frame
+
+        def flaky(scene, camera, cfg, film=None, progress=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # Simulate a device fault after the first pass: render 2
+                # spp, checkpoint them via progress, then die.
+                f = real(scene, camera,
+                         __import__("dataclasses").replace(cfg, spp=2),
+                         film=film, progress=progress)
+                if progress:
+                    progress(f)
+                raise RuntimeError("TPU device error (simulated)")
+            return real(scene, camera, cfg, film=film, progress=progress)
+
+        monkeypatch.setattr(drv, "render_frame", flaky)
+        logs = []
+        film = drv.run(config, log=logs.append)
+        assert int(film.samples) == 4
+        assert calls["n"] == 2
+        assert any("resuming from checkpoint" in l for l in logs)
