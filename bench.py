@@ -23,7 +23,34 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
+def _device_alive(timeout=240):
+    """Probe the accelerator in a subprocess: a wedged TPU tunnel hangs
+    forever on the first op, which must not hang the benchmark."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax.numpy as j; j.arange(2).sum()"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_alive():
+        print("# accelerator unreachable (tunnel down?); "
+              "no measurement possible", file=sys.stderr)
+        print(json.dumps({
+            "metric": "camera_rays_per_sec_rtiow1080p_d50",
+            "value": 0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": "accelerator unreachable",
+        }))
+        return
+
     from mrt.scenes import get
     from mrt.runtime.render import render_pass_persistent
     from mrt.runtime.film import Film

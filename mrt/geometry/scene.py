@@ -89,9 +89,17 @@ class Scene:
         hits = Hits.none(o.shape[0])
         if self.spheres is not None:
             if self.sphere_bvh is not None:
-                from . import bvh as bvh_mod
-                hits = hits.closer_of(bvh_mod.intersect_bvh_spheres(
-                    self.spheres, self.sphere_bvh, o, d, t_min, t_max))
+                from . import spheres as sph_mod
+                if sph_mod._use_pallas():
+                    from ..ops import pallas_bvh
+                    hits = hits.closer_of(pallas_bvh.intersect_bvh_spheres(
+                        self.spheres, self.sphere_bvh, o, d, t_min,
+                        t_max))
+                else:
+                    from . import bvh as bvh_mod
+                    hits = hits.closer_of(bvh_mod.intersect_bvh_spheres(
+                        self.spheres, self.sphere_bvh, o, d, t_min,
+                        t_max))
             else:
                 hits = hits.closer_of(
                     sphere_mod.intersect(self.spheres, o, d, t_min, t_max))

@@ -1,0 +1,210 @@
+"""Pallas TPU kernel: packet BVH traversal over sphere sets.
+
+The XLA traversal (`geometry.bvh.intersect_bvh_spheres`) gathers node
+AABBs per ray per step from HBM.  This kernel keeps the whole flattened
+BVH and the sphere SoA resident in VMEM and traverses it *packet-style*:
+all 1024 rays of a grid program walk one shared DFS cursor; node data
+loads are scalar broadcasts (no gathers at all), the slab test runs on
+the VPU across the packet, and a subtree is skipped via its escape index
+when no lane's slab test passes.
+
+Coherent packets (camera/shadow rays) visit ~the per-ray node count;
+fully incoherent packets degrade toward a full DFS sweep — still cheap
+per node (one broadcast slab test) but more nodes.  Use for sphere sets
+whose BVH + primitives fit VMEM (several hundred thousand spheres).
+
+Semantics identical to the XLA traversal (root selection of
+geom.rs:64-75; best-t shrinking; lowest index wins ties).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_spheres import LANE, BLOCK_ROWS
+
+INF = float("inf")
+LEAF_SIZE = 4  # must match geometry.bvh.LEAF_SIZE
+
+
+def _kernel(scalars_ref, nodes_ref, meta_ref, sph_ref, o_ref, d_ref,
+            tmax_ref, t_out, i_out, *, n_nodes):
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    t_min = scalars_ref[0]
+    t_max = tmax_ref[:]
+
+    def slab(lo, hi, o_c, inv_c, near, far):
+        t0 = (lo - o_c) * inv_c
+        t1 = (hi - o_c) * inv_c
+        return (jnp.maximum(near, jnp.minimum(t0, t1)),
+                jnp.minimum(far, jnp.maximum(t0, t1)))
+
+    def sphere_test(s, bt, bi):
+        cx = sph_ref[0, s]
+        cy = sph_ref[1, s]
+        cz = sph_ref[2, s]
+        r = sph_ref[3, s]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        half_b = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = half_b * half_b - a * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        r0 = (-half_b - sq) * inv_a
+        r1 = (-half_b + sq) * inv_a
+        lim = jnp.minimum(bt, t_max)
+        ok0 = ok & (r0 >= t_min) & (r0 <= lim)
+        ok1 = ok & (r1 >= t_min) & (r1 <= lim)
+        root = jnp.where(ok0, r0, jnp.where(ok1, r1, INF))
+        better = root < bt
+        return jnp.where(better, root, bt), jnp.where(better, s, bi)
+
+    def cond(carry):
+        node, _, _ = carry
+        return node < n_nodes
+
+    def body(carry):
+        node, bt, bi = carry
+        # nodes layout (8, M): bminx/y/z, bmaxx/y/z rows (f32).
+        near = jnp.full_like(bt, t_min)
+        far = jnp.minimum(bt, t_max)
+        near, far = slab(nodes_ref[0, node], nodes_ref[3, node],
+                         ox, inv_dx, near, far)
+        near, far = slab(nodes_ref[1, node], nodes_ref[4, node],
+                         oy, inv_dy, near, far)
+        near, far = slab(nodes_ref[2, node], nodes_ref[5, node],
+                         oz, inv_dz, near, far)
+        any_hit = jnp.any(near <= far)
+
+        first = meta_ref[0, node]
+        count = meta_ref[1, node]
+        escape = meta_ref[2, node]
+        is_leaf = count > 0
+
+        def test_leaf(carry):
+            bt, bi = carry
+            for j in range(LEAF_SIZE):
+                s = jnp.minimum(first + j, sph_ref.shape[1] - 1)
+                tj, ij = sphere_test(s, bt, bi)
+                take = j < count
+                bt = jnp.where(take, tj, bt)
+                bi = jnp.where(take, ij, bi)
+            return bt, bi
+
+        do_leaf = any_hit & is_leaf
+        bt, bi = jax.lax.cond(do_leaf, test_leaf, lambda c: c, (bt, bi))
+
+        node = jnp.where(any_hit & ~is_leaf, node + 1, escape)
+        return node, bt, bi
+
+    init = (jnp.int32(0), jnp.full_like(a, INF),
+            jnp.zeros_like(a, dtype=jnp.int32))
+    _, bt, bi = jax.lax.while_loop(cond, body, init)
+    t_out[:] = bt
+    i_out[:] = bi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _traverse(nodes, meta, sph, o3, d3, t_min, t_max2, interpret=False):
+    r = o3.shape[1]
+    m = nodes.shape[1]
+    grid = (pl.cdiv(r, BLOCK_ROWS),)
+    scalars = jnp.stack([jnp.asarray(t_min, jnp.float32)])
+
+    kernel = functools.partial(_kernel, n_nodes=m)
+    t, i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, m), lambda g, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, m), lambda g, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, sph.shape[1]), lambda g, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, BLOCK_ROWS, LANE),
+                             lambda g, c: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, BLOCK_ROWS, LANE),
+                             lambda g, c: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scalars, nodes, meta, sph, o3, d3, t_max2)
+    return t, i
+
+
+def intersect_bvh_spheres(spheres, bvh, o, d, t_min, t_max,
+                          interpret=False):
+    """Drop-in Pallas replacement for geometry.bvh.intersect_bvh_spheres.
+    Returns a Hits record."""
+    import numpy as np
+
+    from ..geometry.spheres import make_hits
+
+    n = o.shape[0]
+    m = bvh.n_nodes
+
+    # Node SoA: rows bmin xyz / bmax xyz, padded 8 rows.
+    nodes = jnp.zeros((8, m), jnp.float32)
+    nodes = nodes.at[0:3].set(bvh.bmin.T)
+    nodes = nodes.at[3:6].set(bvh.bmax.T)
+    meta = jnp.zeros((4, m), jnp.int32)
+    meta = meta.at[0].set(bvh.first)
+    meta = meta.at[1].set(bvh.count)
+    meta = meta.at[2].set(bvh.escape)
+
+    s = spheres.count
+    s_pad = max(8, -(-s // 8) * 8)
+    sph = jnp.zeros((4, s_pad), jnp.float32)
+    sph = sph.at[:3, :s].set(spheres.center.T)
+    sph = sph.at[3, :s].set(spheres.radius)
+
+    block = BLOCK_ROWS * LANE
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANE
+
+    def to3(x, fill):
+        pad = jnp.full((n_pad, 3), fill, x.dtype).at[:n].set(x)
+        return pad.T.reshape(3, rows, LANE)
+
+    o3 = to3(o, 0.0)
+    d3 = to3(jnp.where(jnp.sum(d * d, axis=-1, keepdims=True) > 0.0,
+                       d, 1.0), 1.0)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    # Pad lanes get t_max = t_min so they can't extend the traversal.
+    t_max2 = jnp.full((n_pad,), jnp.float32(t_min)).at[:n].set(
+        t_max_b).reshape(rows, LANE)
+
+    t, i = _traverse(nodes, meta, sph, o3, d3,
+                     jnp.asarray(t_min, jnp.float32), t_max2,
+                     interpret=interpret)
+    t = t.reshape(-1)[:n]
+    i = i.reshape(-1)[:n]
+    return make_hits(spheres, o, d, t, i)

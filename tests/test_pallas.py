@@ -46,3 +46,57 @@ class TestPallasSpheres:
         t_pal, _ = PS.nearest_t(spheres, o, d, 0.5, 4.0, interpret=True)
         np.testing.assert_allclose(np.asarray(t_pal), np.asarray(t_ref),
                                    rtol=2e-3, atol=1e-4)
+
+
+class TestPallasBVH:
+    def _grid_spheres(self, rng, n):
+        import math
+        side = int(math.sqrt(n))
+        centers = np.array([[i * 2.0, 0.0, j * 2.0]
+                            for i in range(side) for j in range(side)],
+                           np.float32)
+        centers += rng.uniform(-0.3, 0.3, centers.shape).astype(np.float32)
+        return S.Spheres(
+            center=jnp.asarray(centers),
+            radius=jnp.asarray(rng.uniform(0.3, 0.9, len(centers))
+                               .astype(np.float32)),
+            material=jnp.zeros((len(centers),), jnp.int32))
+
+    @pytest.mark.parametrize("n", [16, 400])
+    def test_matches_xla_traversal(self, rng, n):
+        from mrt.geometry import bvh as B
+        from mrt.ops import pallas_bvh as PB
+
+        spheres = self._grid_spheres(rng, n)
+        bvh, reordered = B.build_over_spheres(spheres)
+        nr = 1500
+        o = jnp.asarray(rng.uniform(-5, 45, (nr, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((nr, 3)).astype(np.float32))
+
+        hx = B.intersect_bvh_spheres(reordered, bvh, o, d, 1e-3, jnp.inf)
+        hp = PB.intersect_bvh_spheres(reordered, bvh, o, d, 1e-3,
+                                      jnp.inf, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hx.hit),
+                                      np.asarray(hp.hit))
+        m = np.asarray(hx.hit)
+        np.testing.assert_allclose(np.asarray(hp.t)[m],
+                                   np.asarray(hx.t)[m], rtol=2e-3,
+                                   atol=1e-4)
+        if m.any():
+            same = (np.asarray(hp.material)[m]
+                    == np.asarray(hx.material)[m])
+            assert same.mean() > 0.99
+
+    def test_t_max(self, rng):
+        from mrt.geometry import bvh as B
+        from mrt.ops import pallas_bvh as PB
+
+        spheres = self._grid_spheres(rng, 64)
+        bvh, reordered = B.build_over_spheres(spheres)
+        o = jnp.asarray(np.tile([[-4.0, 0.0, 4.0]], (8, 1)))
+        d = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (8, 1)))
+        hx = B.intersect_bvh_spheres(reordered, bvh, o, d, 1e-3, 3.0)
+        hp = PB.intersect_bvh_spheres(reordered, bvh, o, d, 1e-3, 3.0,
+                                      interpret=True)
+        np.testing.assert_array_equal(np.asarray(hx.hit),
+                                      np.asarray(hp.hit))
