@@ -106,10 +106,20 @@ class Scene:
         if self.triangles is not None:
             from . import triangles as tri_mod  # local: avoid import cycle
             if self.bvh is not None:
-                from . import bvh as bvh_mod
-                hits = hits.closer_of(bvh_mod.intersect_bvh(
-                    self.triangles, self.bvh, o, d, t_min, t_max,
-                    scene=self))
+                from . import spheres as sph_mod
+                # Packet kernel needs BVH + triangles resident in VMEM.
+                vmem_bytes = (self.bvh.n_nodes * 48
+                              + self.triangles.count * 40)
+                if (sph_mod._use_pallas()
+                        and vmem_bytes < 8 * 1024 * 1024):
+                    from ..ops import pallas_bvh
+                    hits = hits.closer_of(pallas_bvh.intersect_bvh_tris(
+                        self.triangles, self.bvh, o, d, t_min, t_max))
+                else:
+                    from . import bvh as bvh_mod
+                    hits = hits.closer_of(bvh_mod.intersect_bvh(
+                        self.triangles, self.bvh, o, d, t_min, t_max,
+                        scene=self))
             else:
                 hits = hits.closer_of(tri_mod.intersect_brute(
                     self.triangles, o, d, t_min, t_max, scene=self))

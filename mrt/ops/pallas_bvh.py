@@ -208,3 +208,188 @@ def intersect_bvh_spheres(spheres, bvh, o, d, t_min, t_max,
     t = t.reshape(-1)[:n]
     i = i.reshape(-1)[:n]
     return make_hits(spheres, o, d, t, i)
+
+
+# ---------------------------------------------------------------------------
+# Triangle packet traversal: same shared-DFS-cursor scheme, leaves run
+# Moller-Trumbore on scalar-broadcast triangle data (geom.rs:504-534).
+# Used for mesh BVHs that fit VMEM alongside the node arrays.
+# ---------------------------------------------------------------------------
+
+
+def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
+                tmax_ref, t_out, i_out, u_out, v_out, *, n_nodes):
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+    t_min = scalars_ref[0]
+    det_eps = scalars_ref[1]
+    t_max = tmax_ref[:]
+
+    def slab(lo, hi, o_c, inv_c, near, far):
+        t0 = (lo - o_c) * inv_c
+        t1 = (hi - o_c) * inv_c
+        return (jnp.maximum(near, jnp.minimum(t0, t1)),
+                jnp.minimum(far, jnp.maximum(t0, t1)))
+
+    def tri_test(s, carry):
+        bt, bi, bu, bv = carry
+        # tri layout (9, T): va.xyz, e_ab.xyz, e_ac.xyz
+        vax, vay, vaz = tri_ref[0, s], tri_ref[1, s], tri_ref[2, s]
+        abx, aby, abz = tri_ref[3, s], tri_ref[4, s], tri_ref[5, s]
+        acx, acy, acz = tri_ref[6, s], tri_ref[7, s], tri_ref[8, s]
+        # p = d x ac
+        px = dy * acz - dz * acy
+        py = dz * acx - dx * acz
+        pz = dx * acy - dy * acx
+        det = abx * px + aby * py + abz * pz
+        det_ok = jnp.abs(det) >= det_eps
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvx, tvy, tvz = ox - vax, oy - vay, oz - vaz
+        u = (tvx * px + tvy * py + tvz * pz) * inv_det
+        # q = tv x ab
+        qx = tvy * abz - tvz * aby
+        qy = tvz * abx - tvx * abz
+        qz = tvx * aby - tvy * abx
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (acx * qx + acy * qy + acz * qz) * inv_det
+        ok = (det_ok & (u >= 0.0) & (u <= 1.0)
+              & (v >= 0.0) & (u + v <= 1.0)
+              & (t >= t_min) & (t <= jnp.minimum(bt, t_max)))
+        return (jnp.where(ok, t, bt), jnp.where(ok, s, bi),
+                jnp.where(ok, u, bu), jnp.where(ok, v, bv))
+
+    def cond(carry):
+        return carry[0] < n_nodes
+
+    def body(carry):
+        node, bt, bi, bu, bv = carry
+        near = jnp.full_like(bt, t_min)
+        far = jnp.minimum(bt, t_max)
+        near, far = slab(nodes_ref[0, node], nodes_ref[3, node],
+                         ox, inv_dx, near, far)
+        near, far = slab(nodes_ref[1, node], nodes_ref[4, node],
+                         oy, inv_dy, near, far)
+        near, far = slab(nodes_ref[2, node], nodes_ref[5, node],
+                         oz, inv_dz, near, far)
+        any_hit = jnp.any(near <= far)
+
+        first = meta_ref[0, node]
+        count = meta_ref[1, node]
+        escape = meta_ref[2, node]
+        is_leaf = count > 0
+
+        def test_leaf(c):
+            bt, bi, bu, bv = c
+            for j in range(LEAF_SIZE):
+                s = jnp.minimum(first + j, tri_ref.shape[1] - 1)
+                tj = tri_test(s, (bt, bi, bu, bv))
+                take = j < count
+                bt = jnp.where(take, tj[0], bt)
+                bi = jnp.where(take, tj[1], bi)
+                bu = jnp.where(take, tj[2], bu)
+                bv = jnp.where(take, tj[3], bv)
+            return bt, bi, bu, bv
+
+        bt, bi, bu, bv = jax.lax.cond(any_hit & is_leaf, test_leaf,
+                                      lambda c: c, (bt, bi, bu, bv))
+        node = jnp.where(any_hit & ~is_leaf, node + 1, escape)
+        return node, bt, bi, bu, bv
+
+    zero = jnp.zeros_like(t_max)
+    init = (jnp.int32(0), jnp.full_like(t_max, INF),
+            jnp.zeros_like(t_max, dtype=jnp.int32), zero, zero)
+    _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, init)
+    t_out[:] = bt
+    i_out[:] = bi
+    u_out[:] = bu
+    v_out[:] = bv
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _traverse_tris(nodes, meta, tri, o3, d3, t_min, det_eps, t_max2,
+                   interpret=False):
+    r = o3.shape[1]
+    m = nodes.shape[1]
+    grid = (pl.cdiv(r, BLOCK_ROWS),)
+    scalars = jnp.stack([jnp.asarray(t_min, jnp.float32),
+                         jnp.asarray(det_eps, jnp.float32)])
+
+    kernel = functools.partial(_tri_kernel, n_nodes=m)
+    ray_spec = pl.BlockSpec((3, BLOCK_ROWS, LANE), lambda g, c: (0, g, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, m), lambda g, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, m), lambda g, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, tri.shape[1]), lambda g, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                ray_spec, ray_spec, out_spec,
+            ],
+            out_specs=[out_spec] * 4,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, nodes, meta, tri, o3, d3, t_max2)
+    return outs
+
+
+def intersect_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
+    """Drop-in Pallas replacement for geometry.bvh.intersect_bvh (mesh
+    BVHs small enough for VMEM).  Returns a Hits record."""
+    from ..geometry.triangles import make_hits, DET_EPS
+
+    n = o.shape[0]
+    m = bvh.n_nodes
+
+    nodes = jnp.zeros((8, m), jnp.float32)
+    nodes = nodes.at[0:3].set(bvh.bmin.T)
+    nodes = nodes.at[3:6].set(bvh.bmax.T)
+    meta = jnp.zeros((4, m), jnp.int32)
+    meta = meta.at[0].set(bvh.first)
+    meta = meta.at[1].set(bvh.count)
+    meta = meta.at[2].set(bvh.escape)
+
+    t_cnt = tris.count
+    t_pad = max(8, -(-t_cnt // 8) * 8)
+    tri = jnp.zeros((9, t_pad), jnp.float32)
+    tri = tri.at[0:3, :t_cnt].set(tris.va.T)
+    tri = tri.at[3:6, :t_cnt].set(tris.e_ab.T)
+    tri = tri.at[6:9, :t_cnt].set(tris.e_ac.T)
+
+    block = BLOCK_ROWS * LANE
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANE
+
+    def to3(x, fill):
+        pad = jnp.full((n_pad, 3), fill, x.dtype).at[:n].set(x)
+        return pad.T.reshape(3, rows, LANE)
+
+    o3 = to3(o, 0.0)
+    d3 = to3(jnp.where(jnp.sum(d * d, axis=-1, keepdims=True) > 0.0,
+                       d, 1.0), 1.0)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_max2 = jnp.full((n_pad,), jnp.float32(t_min)).at[:n].set(
+        t_max_b).reshape(rows, LANE)
+
+    t, i, u, v = _traverse_tris(nodes, meta, tri, o3, d3,
+                                jnp.asarray(t_min, jnp.float32),
+                                jnp.asarray(DET_EPS, jnp.float32),
+                                t_max2, interpret=interpret)
+    flat = lambda x: x.reshape(-1)[:n]
+    return make_hits(tris, o, d, flat(t), flat(i), flat(u), flat(v))

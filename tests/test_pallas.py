@@ -100,3 +100,30 @@ class TestPallasBVH:
                                       interpret=True)
         np.testing.assert_array_equal(np.asarray(hx.hit),
                                       np.asarray(hp.hit))
+
+
+class TestPallasTriBVH:
+    def test_matches_xla_traversal(self, rng):
+        from mrt.geometry import bvh as B
+        from mrt.geometry import triangles as T
+        from mrt.ops import pallas_bvh as PB
+        from mrt.geometry.shapes import sphere_mesh
+
+        tris = sphere_mesh((0, 0, 0), 2.0, lat=12, lon=18)
+        bvh, reordered = B.build_over_triangles(tris)
+        nr = 1200
+        o = jnp.asarray(rng.uniform(-6, 6, (nr, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((nr, 3)).astype(np.float32))
+
+        hx = B.intersect_bvh(reordered, bvh, o, d, 1e-3, jnp.inf)
+        hp = PB.intersect_bvh_tris(reordered, bvh, o, d, 1e-3, jnp.inf,
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(hx.hit),
+                                      np.asarray(hp.hit))
+        m = np.asarray(hx.hit)
+        np.testing.assert_allclose(np.asarray(hp.t)[m],
+                                   np.asarray(hx.t)[m], rtol=2e-3,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(hp.uv)[m],
+                                   np.asarray(hx.uv)[m], rtol=1e-2,
+                                   atol=2e-3)
