@@ -54,15 +54,18 @@ class Scene:
     ALPHA_ROUNDS = 3
 
     def intersect(self, o, d, t_min=T_MIN, t_max=jnp.inf,
-                  sampler=None) -> Hits:
+                  sampler=None, shading_aux=True) -> Hits:
         """Closest hit of each ray against every primitive set.
 
         o, d: (N, 3).  `sampler` feeds stochastic intersections (volume
         free-flight, geom.rs:640, and Mix alpha re-rolls); scenes with
-        volumes or alpha testing require it.
+        volumes or alpha testing require it.  shading_aux=False skips
+        shading-only post-processing (normal maps) — occlusion queries
+        (NEE shadow rays) don't need it.
         Returns a Hits record of length N.
         """
-        hits = self._intersect_once(o, d, t_min, t_max, sampler)
+        hits = self._intersect_once(o, d, t_min, t_max, sampler,
+                                    shading_aux=shading_aux)
         if self.needs_alpha and self.atlas is not None:
             from ..materials import shade
 
@@ -77,7 +80,8 @@ class Scene:
                 redo = hits.hit & ~keep
                 t_min2 = jnp.where(redo, hits.t + 1e-4,
                                    jnp.full_like(hits.t, t_min))
-                again = self._intersect_once(o, d, t_min2, t_max, sampler)
+                again = self._intersect_once(o, d, t_min2, t_max, sampler,
+                                             shading_aux=shading_aux)
                 hits = jax.tree.map(
                     lambda new, old: jnp.where(
                         redo.reshape(redo.shape + (1,) * (old.ndim - 1)),
@@ -85,7 +89,8 @@ class Scene:
                     again, hits)
         return hits
 
-    def _intersect_once(self, o, d, t_min, t_max, sampler) -> Hits:
+    def _intersect_once(self, o, d, t_min, t_max, sampler,
+                        shading_aux=True) -> Hits:
         hits = Hits.none(o.shape[0])
         if self.spheres is not None:
             if self.sphere_bvh is not None:
@@ -136,7 +141,7 @@ class Scene:
             u = jnp.stack([sampler.next1() for _ in range(v)], axis=-1)
             hits = hits.closer_of(vol_mod.intersect(
                 self.volumes, o, d, t_min, t_max, u))
-        if self.atlas is not None:
+        if self.atlas is not None and shading_aux:
             from ..materials import shade
             hits = shade.apply_normal_maps(self, hits, d)
         return hits

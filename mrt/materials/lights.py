@@ -230,7 +230,7 @@ def sample_direct(scene, hits, sampler):
     shadow_hits = scene.intersect(
         p, w, t_min=1e-3,
         t_max=jnp.where(valid, dist - 1e-3, 1e-3),
-        sampler=sampler)
+        sampler=sampler, shading_aux=False)
     unoccluded = ~shadow_hits.hit
 
     direct = (emission * (weight * float(L))[:, None]
