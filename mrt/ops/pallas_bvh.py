@@ -129,12 +129,14 @@ def _traverse(nodes, meta, sph, o3, d3, t_min, t_max2, interpret=False):
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
+                # Node/meta/sphere tables in SMEM: read via dynamic
+                # scalar indices (forbidden on VMEM lane dims).
                 pl.BlockSpec((8, m), lambda g, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((4, m), lambda g, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((4, sph.shape[1]), lambda g, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((3, BLOCK_ROWS, LANE),
                              lambda g, c: (0, g, 0),
                              memory_space=pltpu.VMEM),
@@ -329,11 +331,11 @@ def _traverse_tris(nodes, meta, tri, o3, d3, t_min, det_eps, t_max2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((8, m), lambda g, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((4, m), lambda g, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((9, tri.shape[1]), lambda g, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 ray_spec, ray_spec, out_spec,
             ],
             out_specs=[out_spec] * 4,

@@ -93,8 +93,10 @@ def nearest_t_pallas(sph, count, o3, d3, t_min, t_max2, interpret=False):
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
+                # Sphere SoA in SMEM: the kernel reads it with dynamic
+                # scalar indices, which Mosaic forbids on VMEM lanes.
                 pl.BlockSpec((4, s_pad), lambda g, c: (0, 0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((3, BLOCK_ROWS, LANE),
                              lambda g, c: (0, g, 0),
                              memory_space=pltpu.VMEM),
