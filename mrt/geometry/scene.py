@@ -47,6 +47,10 @@ class Scene:
     # lambertian/metal/specular, geom.rs:567-571); enables the cutout
     # re-cast rounds below.
     needs_alpha: bool = struct.field(pytree_node=False, default=False)
+    # Static: any MIX rows in the material table?  False elides the
+    # iterative mix-resolution gathers in shading (a large win: table
+    # gathers dominate shading cost on TPU).  Conservative default True.
+    has_mix: bool = struct.field(pytree_node=False, default=True)
 
     # Cutout re-cast rounds: each round can see through one failed
     # alpha-tested surface per ray (stacked cutouts beyond this bound
@@ -268,5 +272,6 @@ class SceneBuilder:
             atlas=self._atlas,
             needs_alpha=(self._atlas is not None
                          and self._materials.may_alpha_test()),
+            has_mix=self._materials.has_mix(),
         )
         return attach_lights(scene) if nee else scene

@@ -48,6 +48,17 @@ def resolve_mix(materials: T.MaterialTable, rows, u_draws):
     return rows
 
 
+def resolve_rows(scene, rows, sampler):
+    """Mix-resolve `rows` drawing from `sampler` — or, when the scene
+    has no MIX rows, skip the gathers but still advance the sampler
+    counter so every downstream RNG stream is unchanged."""
+    if not scene.has_mix:
+        sampler.skip(T.MAX_MIX_DEPTH)
+        return rows
+    u = [sampler.next1() for _ in range(T.MAX_MIX_DEPTH)]
+    return resolve_mix(scene.materials, rows, u)
+
+
 def surface_rgba(scene, rows, uv):
     """Per-ray surface color: texture sample when the row has one, else
     the row's solid albedo (reference: Surface::get_f, texture.rs:126-148).
@@ -104,8 +115,7 @@ def emitted(scene, hits, sampler):
     glow mask times the glow color times 10 (eve.rs:121-128).
     """
     materials = scene.materials
-    mix_u = [sampler.next1() for _ in range(T.MAX_MIX_DEPTH)]
-    rows = resolve_mix(materials, hits.material, mix_u)
+    rows = resolve_rows(scene, hits.material, sampler)
     is_light = materials.mtype[rows] == T.DIFFUSE_LIGHT
     e = materials.emit[rows] * is_light[:, None].astype(jnp.float32)
     if scene.atlas is not None:
@@ -173,8 +183,7 @@ def scatter(scene, hits, d_in, sampler):
     n = hits.material.shape[0]
     normal = hits.normal
 
-    mix_u = [sampler.next1() for _ in range(T.MAX_MIX_DEPTH)]
-    rows = resolve_mix(materials, hits.material, mix_u)
+    rows = resolve_rows(scene, hits.material, sampler)
     mtype = materials.mtype[rows]
 
     # Shared random draws (each class consumes what it needs).
@@ -265,8 +274,7 @@ def alpha_test(scene, rows, uv, sampler):
     sampled alpha != 0; everything else passes.  Mix re-rolls.
     """
     materials = scene.materials
-    mix_u = [sampler.next1() for _ in range(T.MAX_MIX_DEPTH)]
-    rows = resolve_mix(materials, rows, mix_u)
+    rows = resolve_rows(scene, rows, sampler)
     rgba = surface_rgba(scene, rows, uv)
     mtype = materials.mtype[rows]
     tests_alpha = ((mtype == T.LAMBERTIAN) | (mtype == T.METAL)

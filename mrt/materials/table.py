@@ -130,6 +130,9 @@ class MaterialBuilder:
         return self._add(EVE, tex=tex_ar, ior=1.8, tex_no=tex_no,
                          tex_pmdg=tex_pmdg, palette=palette, glow3=glow)
 
+    def has_mix(self):
+        return any(r["mtype"] == MIX for r in self._rows)
+
     def may_alpha_test(self):
         """True if any row can fail Material::alpha_test — i.e. a
         textured Lambertian/Metal/Specular (material.rs:222-225,

@@ -87,3 +87,9 @@ class Sampler:
     def next1(self):
         a, _, _, _ = self.next4()
         return a
+
+    def skip(self, n=1):
+        """Advance the draw counter without emitting ops.  Draws are
+        pure functions of the counter, so optimisations that elide a
+        consumer can keep every later stream identical for free."""
+        self._draw += n

@@ -67,6 +67,7 @@ class RtiowFinal:
         scene = Scene(
             materials=mat.build(),
             background=SkyBackground.create(),
+            has_mix=False,
             spheres=Spheres(
                 center=jnp.asarray(np.array(centers, np.float32)),
                 radius=jnp.asarray(np.array(radii, np.float32)),
