@@ -136,8 +136,25 @@ def make_hits(spheres: Spheres, o, d, t, index) -> Hits:
     )
 
 
-def _use_pallas():
-    """Pallas kernel gate: MRT_PALLAS=1 opts in (TPU), =0 forces scan."""
+def _on_tpu():
+    import jax
+
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _use_pallas(kind="packet"):
+    """Pallas kernel gate; MRT_PALLAS=0/1 overrides both kinds.
+
+    kind="packet" (BVH packet traversal): auto on TPU — the gather-based
+    XLA traversals can exceed the device watchdog on incoherent-ray
+    scenes (a 10k-sphere enclosed grid faulted the chip; the packet
+    kernel renders it in seconds).
+    kind="brute" (dense sphere loop): default off — measured at parity
+    with the XLA scan on hardware, which fuses better with shading.
+    """
     import os
 
     flag = os.environ.get("MRT_PALLAS")
@@ -145,11 +162,11 @@ def _use_pallas():
         return False
     if flag == "1":
         return True
-    return False  # default: XLA scan until the kernel is TPU-proven
+    return kind == "packet" and _on_tpu()
 
 
 def intersect(spheres: Spheres, o, d, t_min, t_max) -> Hits:
-    if _use_pallas():
+    if _use_pallas("brute"):
         from ..ops import pallas_spheres
 
         t, index = pallas_spheres.nearest_t(spheres, o, d, t_min, t_max)

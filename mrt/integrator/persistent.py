@@ -6,14 +6,24 @@ path length of ~3 most lanes idle ~94% of the iterations.  This module
 is the TPU analogue of persistent-threads path tracing: a fixed pool of
 P lanes consumes a queue of (pixel, sample) work items; the moment a
 path terminates its lane claims the next item and generates that
-sample's camera ray.  Contributions stream into the film with
-scatter-adds every bounce, so no per-lane radiance accumulator and no
-path ever waits on another.
+sample's camera ray.  Contributions stream into the film with one
+packed scatter-add per bounce, so no per-lane radiance accumulator and
+no path ever waits on another.
 
 Equivalence: every random draw is the same pure function of
 (seed, pixel, sample, bounce) as the batched integrator, so this
 produces the same estimator with the same streams — only the float
 accumulation order differs (tested to ~1e-5 of the batch path).
+
+Two drivers share the step function:
+  - `render_samples_persistent`: one device-side while_loop — used
+    inside jit/shard_map programs (the multi-chip path).
+  - `render_samples_chunked`: Python-level loop over bounded-length
+    dispatches — the single-chip default.  A dispatch never runs more
+    than `chunk_steps` wavefront steps, so slow-traversal scenes cannot
+    exceed the accelerator's execution watchdog (observed: unbounded
+    dispatches on incoherent-ray scenes faulted the chip), and the host
+    can observe progress between chunks.
 
 The reference's analogue is its thread pool re-rendering whole frames
 per pass (reference: src/main.rs:234-294); regeneration here plays the
@@ -21,6 +31,8 @@ role of the OS scheduler keeping CPU cores busy.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,49 +42,16 @@ from ..materials import shade
 from .wavefront import MAX_DEPTH, T_MIN
 
 POOL = 1 << 17
+CHUNK_STEPS = 32
 
 
-def render_samples_persistent(scene, camera, width, height, seed,
-                              sample_start, samples,
-                              max_depth=MAX_DEPTH, pool=POOL,
-                              film_sum=None, depth_sum=None,
-                              pixel_offset=0, n_pixels=None,
-                              sample_stride=1, rr_depth=None):
-    """Render `samples` spp over a pixel range into flat accumulators.
-
-    Single-device renders use the defaults (the whole frame).  Sharded
-    renders pass `pixel_offset`/`n_pixels` to own a row tile and
-    `sample_stride` so spp-axis ranks interleave sample indices —
-    global pixel ids and sample numbers feed the RNG, keeping every
-    draw identical to the single-device render.
-
-    Returns (film_sum (n_pixels,3), depth_sum (n_pixels,)) — pass them
-    back in to accumulate further passes.
-    """
+def _build(scene, camera, width, height, seed, sample_start, samples,
+           max_depth, pool, pixel_offset, n_pixels, sample_stride,
+           rr_depth):
+    """Returns (total, make_rays, step) for the persistent wavefront."""
     npix = n_pixels if n_pixels is not None else width * height
     total = npix * samples  # `samples` may be traced: total only feeds
-    # comparisons/arithmetic, never shapes, so one compile serves any spp.
-
-    if film_sum is None:
-        film_sum = jnp.zeros((npix, 3), jnp.float32)
-    if depth_sum is None:
-        depth_sum = jnp.zeros((npix,), jnp.int32)
-
-    # Varying-axes seed: loop-carry inits must inherit the varying type
-    # of the shard inputs under shard_map (no-op zeros otherwise).
-    vzero_f = (film_sum.ravel()[0] * 0.0
-               + jnp.asarray(sample_start, jnp.float32) * 0.0)
-    vzero_i = vzero_f.astype(jnp.int32)
-    # The film carries themselves need the promotion too: their inputs
-    # vary only over the tile axis, but the body's scatter-adds vary
-    # over the spp axis (sample indices are rank-strided).
-    # Radiance + depth pack into one (npix, 4) accumulator so each step
-    # issues ONE scatter-add (scatters are serialized on TPU and were
-    # ~half the step cost as two).  Depth counts stay exact in f32
-    # (bounded by spp * max_depth << 2^24).
-    packed = jnp.concatenate(
-        [film_sum, depth_sum.astype(jnp.float32)[:, None]],
-        axis=-1) + vzero_f
+    # comparisons/arithmetic, never shapes — one compile serves any spp.
 
     inv_w = 1.0 / jnp.float32(width)
     inv_h = 1.0 / jnp.float32(height)
@@ -95,23 +74,6 @@ def render_samples_persistent(scene, camera, width, height, seed,
         o, d = camera.rays(s, t, du, dv)
         ray_id = pixel ^ (sample * jnp.uint32(0x85EBCA6B))
         return o, d, ray_id
-
-    init_item = jnp.arange(pool, dtype=jnp.int32) + vzero_i
-    o0, d0, rid0 = make_rays(init_item)
-    false_lanes = jnp.zeros((pool,), bool) | (vzero_i != 0)
-    state = (
-        init_item,                                   # work item / total=dead
-        jnp.zeros((pool,), jnp.int32) + vzero_i,     # bounce
-        o0, d0,
-        jnp.ones_like(o0),                           # throughput
-        rid0,
-        jnp.int32(pool) + vzero_i,                   # next_work
-        packed,
-        false_lanes,                                 # prev_nee
-    )
-
-    def cond(state):
-        return jnp.any(state[0] < total)
 
     def step(state):
         (item, bounce, o, d, throughput, ray_id, next_work,
@@ -208,6 +170,127 @@ def render_samples_persistent(scene, camera, width, height, seed,
         return (item, bounce, o, d, throughput, ray_id, next_work,
                 packed, prev_nee)
 
-    state = jax.lax.while_loop(cond, step, state)
+    return total, make_rays, step
+
+
+def _init_state(make_rays, pool, film_sum, depth_sum, vzero_f, vzero_i):
+    # Radiance + depth pack into one (npix, 4) accumulator so each step
+    # issues ONE scatter-add.  Depth counts stay exact in f32 (bounded
+    # by spp * max_depth << 2^24).
+    packed = jnp.concatenate(
+        [film_sum, depth_sum.astype(jnp.float32)[:, None]],
+        axis=-1) + vzero_f
+    init_item = jnp.arange(pool, dtype=jnp.int32) + vzero_i
+    o0, d0, rid0 = make_rays(init_item)
+    false_lanes = jnp.zeros((pool,), bool) | (vzero_i != 0)
+    return (
+        init_item,                                   # work item
+        jnp.zeros((pool,), jnp.int32) + vzero_i,     # bounce
+        o0, d0,
+        jnp.ones_like(o0),                           # throughput
+        rid0,
+        jnp.int32(pool) + vzero_i,                   # next_work
+        packed,
+        false_lanes,                                 # prev_nee
+    )
+
+
+def _unpack(state):
     packed = state[7]
     return packed[:, :3], jnp.round(packed[:, 3]).astype(jnp.int32)
+
+
+def render_samples_persistent(scene, camera, width, height, seed,
+                              sample_start, samples,
+                              max_depth=MAX_DEPTH, pool=POOL,
+                              film_sum=None, depth_sum=None,
+                              pixel_offset=0, n_pixels=None,
+                              sample_stride=1, rr_depth=None):
+    """Single device-side while_loop (for use inside jit/shard_map).
+
+    Returns (film_sum (n_pixels,3), depth_sum (n_pixels,)) — pass them
+    back in to accumulate further passes.
+    """
+    npix = n_pixels if n_pixels is not None else width * height
+    if film_sum is None:
+        film_sum = jnp.zeros((npix, 3), jnp.float32)
+    if depth_sum is None:
+        depth_sum = jnp.zeros((npix,), jnp.int32)
+
+    # Varying-axes seed: loop-carry inits must inherit the varying type
+    # of the shard inputs under shard_map (no-op zeros otherwise).
+    vzero_f = (film_sum.ravel()[0] * 0.0
+               + jnp.asarray(sample_start, jnp.float32) * 0.0)
+    vzero_i = vzero_f.astype(jnp.int32)
+
+    total, make_rays, step = _build(
+        scene, camera, width, height, seed, sample_start, samples,
+        max_depth, pool, pixel_offset, n_pixels, sample_stride, rr_depth)
+    state = _init_state(make_rays, pool, film_sum, depth_sum, vzero_f,
+                        vzero_i)
+
+    def cond(state):
+        return jnp.any(state[0] < total)
+
+    state = jax.lax.while_loop(cond, step, state)
+    return _unpack(state)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "pool", "rr_depth", "chunk_steps"))
+def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
+                samples, *, width, height, max_depth, pool, rr_depth,
+                chunk_steps):
+    total, make_rays, _ = _build(
+        scene, camera, width, height, seed, sample_start, samples,
+        max_depth, pool, 0, None, 1, rr_depth)
+    zero = jnp.float32(0.0)
+    return _init_state(make_rays, pool, film_sum, depth_sum, zero,
+                       jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "pool", "rr_depth", "chunk_steps"))
+def _chunk_run(scene, camera, state, seed, sample_start, samples, *,
+               width, height, max_depth, pool, rr_depth, chunk_steps):
+    total, _, step = _build(
+        scene, camera, width, height, seed, sample_start, samples,
+        max_depth, pool, 0, None, 1, rr_depth)
+
+    def cond(carry):
+        i, st = carry
+        return (i < chunk_steps) & jnp.any(st[0] < total)
+
+    def body(carry):
+        i, st = carry
+        return i + 1, step(st)
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return state, jnp.any(state[0] < total)
+
+
+def render_samples_chunked(scene, camera, width, height, seed,
+                           sample_start, samples, max_depth=MAX_DEPTH,
+                           pool=POOL, film_sum=None, depth_sum=None,
+                           rr_depth=None, chunk_steps=CHUNK_STEPS):
+    """Python-driven chunked dispatches (single-chip fast path).
+
+    Identical results to `render_samples_persistent`; each dispatch is
+    bounded to `chunk_steps` wavefront steps.
+    """
+    npix = width * height
+    if film_sum is None:
+        film_sum = jnp.zeros((npix, 3), jnp.float32)
+    if depth_sum is None:
+        depth_sum = jnp.zeros((npix,), jnp.int32)
+
+    statics = dict(width=width, height=height, max_depth=max_depth,
+                   pool=pool, rr_depth=rr_depth, chunk_steps=chunk_steps)
+    state = _chunk_init(scene, camera, film_sum, depth_sum, seed,
+                        sample_start, samples, **statics)
+    while True:
+        state, more = _chunk_run(scene, camera, state, seed,
+                                 sample_start, samples, **statics)
+        if not bool(more):
+            break
+    return _unpack(state)

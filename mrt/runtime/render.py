@@ -81,17 +81,18 @@ def render(scene, camera, width, height, spp=64, seed=1,
     return film
 
 
-@partial(jax.jit, static_argnames=("width", "height", "max_depth",
-                                   "pool", "rr_depth"))
 def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
                            *, width, height,
                            max_depth=wavefront.MAX_DEPTH, samples=1,
                            pool=None, rr_depth=None):
     """Ray-regeneration render pass (integrator.persistent): ~100% lane
-    utilisation regardless of depth — the fast path for deep bounces."""
-    from ..integrator.persistent import render_samples_persistent, POOL
+    utilisation regardless of depth — the fast path for deep bounces.
 
-    film_sum, depth_sum = render_samples_persistent(
+    Dispatches are chunked from the host so a slow-traversal scene can
+    never exceed the accelerator's execution watchdog."""
+    from ..integrator.persistent import render_samples_chunked, POOL
+
+    film_sum, depth_sum = render_samples_chunked(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth=max_depth, pool=pool or POOL,
         film_sum=film.sum.reshape(-1, 3),
