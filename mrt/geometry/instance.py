@@ -284,7 +284,15 @@ def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:
 
     (_, _, _, _, _, best_t, best_inst, best_tri, best_u,
      best_v) = jax.lax.while_loop(cond, step, state)
+    return expand_winner(tlas, o, d, best_t, best_inst, best_tri,
+                         best_u, best_v)
 
+
+def expand_winner(tlas: TLAS, o, d, best_t, best_inst, best_tri,
+                  best_u, best_v) -> Hits:
+    """Expand per-ray (t, instance, triangle, u, v) winners to a Hits
+    record in world space (shared by the XLA and Pallas traversals)."""
+    tris = tlas.tris
     # ---- expand winner ---------------------------------------------------
     hit = jnp.isfinite(best_t)
     inst = jnp.clip(best_inst, 0, None)

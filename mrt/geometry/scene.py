@@ -133,9 +133,20 @@ class Scene:
                 hits = hits.closer_of(tri_mod.intersect_brute(
                     self.triangles, o, d, t_min, t_max, scene=self))
         if self.tlas is not None:
-            from . import instance as inst_mod
-            hits = hits.closer_of(inst_mod.intersect_tlas(
-                self.tlas, o, d, t_min, t_max, scene=self))
+            from . import spheres as sph_mod
+            # Packet kernel tables must fit SMEM (~512KB budget).
+            smem_bytes = (self.tlas.n_tlas_nodes * 40
+                          + self.tlas.transform.shape[0] * 56
+                          + self.tlas.bmin.shape[0] * 48
+                          + self.tlas.tris.count * 36)
+            if (sph_mod._use_pallas() and smem_bytes < 512 * 1024):
+                from ..ops import pallas_bvh
+                hits = hits.closer_of(pallas_bvh.intersect_tlas(
+                    self.tlas, o, d, t_min, t_max))
+            else:
+                from . import instance as inst_mod
+                hits = hits.closer_of(inst_mod.intersect_tlas(
+                    self.tlas, o, d, t_min, t_max, scene=self))
         if self.volumes is not None:
             from . import volumes as vol_mod
             if sampler is None:

@@ -42,7 +42,7 @@ from ..materials import shade
 from .wavefront import MAX_DEPTH, T_MIN
 
 POOL = 1 << 17
-CHUNK_STEPS = 32
+CHUNK_STEPS = 8
 
 
 def _build(scene, camera, width, height, seed, sample_start, samples,

@@ -395,3 +395,268 @@ def intersect_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
                                 t_max2, interpret=interpret)
     flat = lambda x: x.reshape(-1)[:n]
     return make_hits(tris, o, d, flat(t), flat(i), flat(u), flat(v))
+
+
+# ---------------------------------------------------------------------------
+# Two-level (TLAS/BLAS) packet traversal: the packet shares a scalar
+# cursor over the instance hierarchy; entering a TLAS leaf warps the
+# whole packet by the instance's inverse transform (12 SMEM scalars) and
+# sweeps that mesh's BLAS subtree, then resumes the TLAS at the saved
+# escape.  All tables in SMEM; zero gathers.
+# ---------------------------------------------------------------------------
+
+
+def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
+                 bnodes_ref, bmeta_ref, tri_ref, o_ref, d_ref, tmax_ref,
+                 t_out, inst_out, tri_out, u_out, v_out, *, n_tlas):
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    t_min = scalars_ref[0]
+    det_eps = scalars_ref[1]
+    t_max = tmax_ref[:]
+
+    def slab(lo, hi, o_c, d_c, near, far):
+        inv = 1.0 / d_c
+        t0 = (lo - o_c) * inv
+        t1 = (hi - o_c) * inv
+        return (jnp.maximum(near, jnp.minimum(t0, t1)),
+                jnp.minimum(far, jnp.maximum(t0, t1)))
+
+    def cond(carry):
+        tnode, inst = carry[0], carry[1]
+        return (inst >= 0) | (tnode < n_tlas)
+
+    def body(carry):
+        (tnode, inst, resume, bnode,
+         lox, loy, loz, ldx, ldy, ldz,
+         bt, b_inst, b_tri, bu, bv) = carry
+
+        def tlas_phase(c):
+            (tnode, inst, resume, bnode,
+             lox, loy, loz, ldx, ldy, ldz,
+             bt, b_inst, b_tri, bu, bv) = c
+            n = tnode
+            near = jnp.full_like(bt, t_min)
+            far = jnp.minimum(bt, t_max)
+            near, far = slab(tnodes_ref[0, n], tnodes_ref[3, n],
+                             ox, dx, near, far)
+            near, far = slab(tnodes_ref[1, n], tnodes_ref[4, n],
+                             oy, dy, near, far)
+            near, far = slab(tnodes_ref[2, n], tnodes_ref[5, n],
+                             oz, dz, near, far)
+            any_hit = jnp.any(near <= far)
+            leaf_inst = tmeta_ref[0, n]
+            escape = tmeta_ref[1, n]
+            enter = any_hit & (leaf_inst >= 0)
+
+            def do_enter(_):
+                i = leaf_inst
+                # inv rows: R00 R01 R02 R10 R11 R12 R20 R21 R22 t0 t1 t2
+                r = [inst_ref[k, i] for k in range(12)]
+                nlox = r[0] * ox + r[1] * oy + r[2] * oz + r[9]
+                nloy = r[3] * ox + r[4] * oy + r[5] * oz + r[10]
+                nloz = r[6] * ox + r[7] * oy + r[8] * oz + r[11]
+                nldx = r[0] * dx + r[1] * dy + r[2] * dz
+                nldy = r[3] * dx + r[4] * dy + r[5] * dz
+                nldz = r[6] * dx + r[7] * dy + r[8] * dz
+                return (escape, i, imeta_ref[0, i],
+                        nlox, nloy, nloz, nldx, nldy, nldz)
+
+            def no_enter(_):
+                nxt = jnp.where(any_hit, n + 1, escape)
+                return (nxt, jnp.int32(-1), jnp.int32(0),
+                        lox, loy, loz, ldx, ldy, ldz)
+
+            (tnode2, inst2, bnode2, lox2, loy2, loz2, ldx2, ldy2,
+             ldz2) = jax.lax.cond(enter, do_enter, no_enter, None)
+            # On enter: resume holds the TLAS continuation (escape) and
+            # tnode2 (=escape) is where we come back to; bnode starts at
+            # the mesh root.
+            return (tnode2, inst2, tnode2, bnode2,
+                    lox2, loy2, loz2, ldx2, ldy2, ldz2,
+                    bt, b_inst, b_tri, bu, bv)
+
+        def blas_phase(c):
+            (tnode, inst, resume, bnode,
+             lox, loy, loz, ldx, ldy, ldz,
+             bt, b_inst, b_tri, bu, bv) = c
+            n = bnode
+            near = jnp.full_like(bt, t_min)
+            far = jnp.minimum(bt, t_max)
+            near, far = slab(bnodes_ref[0, n], bnodes_ref[3, n],
+                             lox, ldx, near, far)
+            near, far = slab(bnodes_ref[1, n], bnodes_ref[4, n],
+                             loy, ldy, near, far)
+            near, far = slab(bnodes_ref[2, n], bnodes_ref[5, n],
+                             loz, ldz, near, far)
+            any_hit = jnp.any(near <= far)
+            first = bmeta_ref[0, n]
+            count = bmeta_ref[1, n]
+            escape = bmeta_ref[2, n]
+            is_leaf = count > 0
+
+            def tri_test(s, carry):
+                bt, b_inst, b_tri, bu, bv = carry
+                vax, vay, vaz = tri_ref[0, s], tri_ref[1, s], tri_ref[2, s]
+                abx, aby, abz = tri_ref[3, s], tri_ref[4, s], tri_ref[5, s]
+                acx, acy, acz = tri_ref[6, s], tri_ref[7, s], tri_ref[8, s]
+                px = ldy * acz - ldz * acy
+                py = ldz * acx - ldx * acz
+                pz = ldx * acy - ldy * acx
+                det = abx * px + aby * py + abz * pz
+                det_ok = jnp.abs(det) >= det_eps
+                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                tvx, tvy, tvz = lox - vax, loy - vay, loz - vaz
+                u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * abz - tvz * aby
+                qy = tvz * abx - tvx * abz
+                qz = tvx * aby - tvy * abx
+                v = (ldx * qx + ldy * qy + ldz * qz) * inv_det
+                t = (acx * qx + acy * qy + acz * qz) * inv_det
+                ok = (det_ok & (u >= 0.0) & (u <= 1.0)
+                      & (v >= 0.0) & (u + v <= 1.0)
+                      & (t >= t_min) & (t <= jnp.minimum(bt, t_max)))
+                return (jnp.where(ok, t, bt),
+                        jnp.where(ok, inst, b_inst),
+                        jnp.where(ok, s, b_tri),
+                        jnp.where(ok, u, bu), jnp.where(ok, v, bv))
+
+            def test_leaf(carry):
+                for j in range(LEAF_SIZE):
+                    s = jnp.minimum(first + j, tri_ref.shape[1] - 1)
+                    res = tri_test(s, carry)
+                    take = j < count
+                    carry = tuple(jnp.where(take, r, c)
+                                  for r, c in zip(res, carry))
+                return carry
+
+            bt, b_inst, b_tri, bu, bv = jax.lax.cond(
+                any_hit & is_leaf, test_leaf, lambda c: c,
+                (bt, b_inst, b_tri, bu, bv))
+
+            nxt = jnp.where(any_hit & ~is_leaf, n + 1, escape)
+            done = nxt >= imeta_ref[1, inst]   # blas_end
+            inst2 = jnp.where(done, -1, inst)
+            tnode2 = jnp.where(done, resume, tnode)
+            bnode2 = jnp.where(done, 0, nxt)
+            return (tnode2, inst2, resume, bnode2,
+                    lox, loy, loz, ldx, ldy, ldz,
+                    bt, b_inst, b_tri, bu, bv)
+
+        return jax.lax.cond(inst >= 0, blas_phase, tlas_phase, carry)
+
+    zero = jnp.zeros_like(t_max)
+    izero = jnp.zeros_like(t_max, dtype=jnp.int32)
+    init = (jnp.int32(0), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+            zero, zero, zero, zero, zero, zero,
+            jnp.full_like(t_max, INF), izero - 1, izero, zero, zero)
+    out = jax.lax.while_loop(cond, body, init)
+    t_out[:] = out[10]
+    inst_out[:] = out[11]
+    tri_out[:] = out[12]
+    u_out[:] = out[13]
+    v_out[:] = out[14]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _traverse_tlas(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
+                   o3, d3, t_min, det_eps, t_max2, interpret=False):
+    r = o3.shape[1]
+    mt = tnodes.shape[1]
+    grid = (pl.cdiv(r, BLOCK_ROWS),)
+    scalars = jnp.stack([jnp.asarray(t_min, jnp.float32),
+                         jnp.asarray(det_eps, jnp.float32)])
+
+    kernel = functools.partial(_tlas_kernel, n_tlas=mt)
+    smem = lambda shape: pl.BlockSpec(shape, lambda g, c: tuple(
+        0 for _ in shape), memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((3, BLOCK_ROWS, LANE), lambda g, c: (0, g, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                smem(tnodes.shape), smem(tmeta.shape), smem(inst.shape),
+                smem(imeta.shape), smem(bnodes.shape), smem(bmeta.shape),
+                smem(tri.shape),
+                ray_spec, ray_spec, out_spec,
+            ],
+            out_specs=[out_spec] * 5,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((r, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
+      o3, d3, t_max2)
+    return outs
+
+
+def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False):
+    """Drop-in Pallas replacement for geometry.instance.intersect_tlas
+    (instance hierarchies whose tables fit SMEM)."""
+    from ..geometry.instance import expand_winner
+    from ..geometry.triangles import DET_EPS
+
+    n = o.shape[0]
+    mt = tlas.n_tlas_nodes
+    mb = tlas.bmin.shape[0]
+    tris = tlas.tris
+
+    tnodes = jnp.zeros((8, mt), jnp.float32)
+    tnodes = tnodes.at[0:3].set(tlas.t_bmin.T)
+    tnodes = tnodes.at[3:6].set(tlas.t_bmax.T)
+    tmeta = jnp.zeros((2, mt), jnp.int32)
+    tmeta = tmeta.at[0].set(tlas.t_inst)
+    tmeta = tmeta.at[1].set(tlas.t_escape)
+
+    inv = tlas.inv_transform
+    inst = jnp.concatenate(
+        [inv[:, :3, :3].reshape(-1, 9).T, inv[:, :3, 3].T],
+        axis=0)                                           # (12, I)
+    imeta = jnp.stack([tlas.blas_root, tlas.blas_end])    # (2, I)
+
+    bnodes = jnp.zeros((8, mb), jnp.float32)
+    bnodes = bnodes.at[0:3].set(tlas.bmin.T)
+    bnodes = bnodes.at[3:6].set(tlas.bmax.T)
+    bmeta = jnp.zeros((4, mb), jnp.int32)
+    bmeta = bmeta.at[0].set(tlas.first)
+    bmeta = bmeta.at[1].set(tlas.count)
+    bmeta = bmeta.at[2].set(tlas.escape)
+
+    t_cnt = tris.count
+    tri = jnp.zeros((9, max(8, t_cnt)), jnp.float32)
+    tri = tri.at[0:3, :t_cnt].set(tris.va.T)
+    tri = tri.at[3:6, :t_cnt].set(tris.e_ab.T)
+    tri = tri.at[6:9, :t_cnt].set(tris.e_ac.T)
+
+    block = BLOCK_ROWS * LANE
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANE
+
+    def to3(x, fill):
+        pad = jnp.full((n_pad, 3), fill, x.dtype).at[:n].set(x)
+        return pad.T.reshape(3, rows, LANE)
+
+    o3 = to3(o, 0.0)
+    d3 = to3(jnp.where(jnp.sum(d * d, axis=-1, keepdims=True) > 0.0,
+                       d, 1.0), 1.0)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_max2 = jnp.full((n_pad,), jnp.float32(t_min)).at[:n].set(
+        t_max_b).reshape(rows, LANE)
+
+    t, bi, btri, u, v = _traverse_tlas(
+        tnodes, tmeta, inst, imeta, bnodes, bmeta, tri, o3, d3,
+        jnp.asarray(t_min, jnp.float32),
+        jnp.asarray(DET_EPS, jnp.float32), t_max2, interpret=interpret)
+    flat = lambda x: x.reshape(-1)[:n]
+    return expand_winner(tlas, o, d, flat(t), flat(bi), flat(btri),
+                         flat(u), flat(v))

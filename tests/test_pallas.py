@@ -127,3 +127,41 @@ class TestPallasTriBVH:
         np.testing.assert_allclose(np.asarray(hp.uv)[m],
                                    np.asarray(hx.uv)[m], rtol=1e-2,
                                    atol=2e-3)
+
+
+class TestPallasTLAS:
+    def test_matches_xla_tlas(self, rng):
+        from mrt.geometry.instance import MeshRegistry, intersect_tlas
+        from mrt.geometry.shapes import cube, sphere_mesh
+        from mrt.ops import pallas_bvh as PB
+
+        reg = MeshRegistry()
+        m1 = reg.add_mesh(cube(size=1.0, material=1))
+        m2 = reg.add_mesh(sphere_mesh(radius=0.6, lat=6, lon=8,
+                                      material=2))
+        for i in range(4):
+            for j in range(4):
+                mid = m1 if (i + j) % 2 == 0 else m2
+                reg.add_instance(mid, translation=(i * 2.0, 0.0, j * 2.0),
+                                 rotation=(0.0, 0.1 * i, 0.0),
+                                 scale=1.0 + 0.2 * j)
+        tlas = reg.build()
+
+        nr = 1500
+        o = jnp.asarray(rng.uniform(-4, 10, (nr, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((nr, 3)).astype(np.float32))
+
+        hx = intersect_tlas(tlas, o, d, 1e-3, jnp.inf)
+        hp = PB.intersect_tlas(tlas, o, d, 1e-3, jnp.inf, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hx.hit),
+                                      np.asarray(hp.hit))
+        m = np.asarray(hx.hit)
+        np.testing.assert_allclose(np.asarray(hp.t)[m],
+                                   np.asarray(hx.t)[m], rtol=2e-3,
+                                   atol=1e-4)
+        same_mat = (np.asarray(hp.material)[m]
+                    == np.asarray(hx.material)[m])
+        assert same_mat.mean() > 0.99
+        np.testing.assert_allclose(np.asarray(hp.normal)[m],
+                                   np.asarray(hx.normal)[m], rtol=2e-2,
+                                   atol=2e-2)
