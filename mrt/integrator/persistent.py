@@ -86,9 +86,8 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         hits = scene.intersect(o, d, t_min=T_MIN, sampler=vol_sampler)
         em_sampler = Sampler(seed, ray_id, salt=3 * b)
         sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
-        emitted = shade.emitted(scene, hits, em_sampler)
-        atten, new_dir, scattered = shade.scatter(scene, hits, d,
-                                                  sc_sampler)
+        emitted, atten, new_dir, scattered = shade.shade_hit(
+            scene, hits, d, em_sampler, sc_sampler)
         background = scene.background_eval(d)
 
         hit = hits.hit & active

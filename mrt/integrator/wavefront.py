@@ -51,8 +51,8 @@ def _bounce(scene, ray_id, seed, b, state, rr_depth=None):
     em_sampler = Sampler(seed, ray_id, salt=3 * b)
     sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
 
-    emitted = shade.emitted(scene, hits, em_sampler)
-    atten, new_dir, scattered = shade.scatter(scene, hits, d, sc_sampler)
+    emitted, atten, new_dir, scattered = shade.shade_hit(
+        scene, hits, d, em_sampler, sc_sampler)
 
     background = scene.background_eval(d)
 

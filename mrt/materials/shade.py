@@ -116,10 +116,16 @@ def emitted(scene, hits, sampler):
     """
     materials = scene.materials
     rows = resolve_rows(scene, hits.material, sampler)
-    is_light = materials.mtype[rows] == T.DIFFUSE_LIGHT
-    e = materials.emit[rows] * is_light[:, None].astype(jnp.float32)
+    mtype = materials.mtype[rows]
+    return _emitted_from(scene, rows, mtype,
+                         materials.params[rows][:, 6:9], hits)
+
+
+def _emitted_from(scene, rows, mtype, emit_rgb, hits):
+    is_light = mtype == T.DIFFUSE_LIGHT
+    e = emit_rgb * is_light[:, None].astype(jnp.float32)
     if scene.atlas is not None:
-        is_eve = materials.mtype[rows] == T.EVE
+        is_eve = mtype == T.EVE
         _, _, glow_e = eve_surface(scene, rows, hits.uv)
         e = jnp.where(is_eve[:, None], glow_e, e)
     return jnp.where(hits.hit[:, None], e, 0.0)
@@ -180,11 +186,16 @@ def scatter(scene, hits, d_in, sampler):
       scattered=False.
     """
     materials = scene.materials
-    n = hits.material.shape[0]
-    normal = hits.normal
-
     rows = resolve_rows(scene, hits.material, sampler)
     mtype = materials.mtype[rows]
+    return _scatter_from(scene, rows, mtype, materials.params[rows],
+                         hits, d_in, sampler)
+
+
+def _scatter_from(scene, rows, mtype, params, hits, d_in, sampler):
+    # scatter() body with the row resolution + packed-parameter gather
+    # hoisted out (shared with shade_hit).
+    normal = hits.normal
 
     # Shared random draws (each class consumes what it needs).
     u1, u2, u3, u_fresnel = sampler.next4()
@@ -192,7 +203,13 @@ def scatter(scene, hits, d_in, sampler):
     rand_unit = sampling.unit_vector(u1, u2)                 # (N,3)
     unit_d = vec.unit(d_in)
 
-    rgba = surface_rgba(scene, rows, hits.uv)
+    solid_rgba = params[:, :4]
+    if scene.atlas is None:
+        rgba = solid_rgba
+    else:
+        tex = scene.materials.tex[rows]
+        sampled = scene.atlas.sample(jnp.maximum(tex, 0), hits.uv)
+        rgba = jnp.where((tex >= 0)[:, None], sampled, solid_rgba)
     albedo = rgba[..., :3]
 
     # --- Lambertian (material.rs:204-220) ---------------------------------
@@ -200,12 +217,12 @@ def scatter(scene, hits, d_in, sampler):
     lam_dir = jnp.where(vec.near_zero(lam_dir)[:, None], normal, lam_dir)
 
     # --- Metal (material.rs:261-284) --------------------------------------
-    fuzz = materials.fuzz[rows]
+    fuzz = params[:, 4]
     metal_dir = vec.reflect(unit_d, normal) + unit_sphere * fuzz[:, None]
     metal_ok = vec.dot(metal_dir, normal) > 0.0
 
     # --- Dielectric / Specular shared Fresnel (material.rs:302-329) -------
-    ior = materials.ior[rows]
+    ior = params[:, 5]
     refraction_ratio = jnp.where(hits.front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(vec.dot(-unit_d, normal), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
@@ -265,6 +282,28 @@ def scatter(scene, hits, d_in, sampler):
         is_lam | is_diel | is_iso | is_spec | is_eve
         | (is_metal & metal_ok))
     return atten, new_dir, scattered
+
+
+def shade_hit(scene, hits, d_in, em_sampler, sc_sampler):
+    # Combined emission + scatter.  When the scene has no Mix rows the
+    # material row resolution is the identity, so BOTH evaluations share
+    # one mtype gather and one packed-params gather (gathers dominate
+    # TPU shading cost).  RNG streams are identical to calling
+    # emitted() then scatter().
+    materials = scene.materials
+    if not scene.has_mix:
+        em_sampler.skip(T.MAX_MIX_DEPTH)
+        sc_sampler.skip(T.MAX_MIX_DEPTH)
+        rows = hits.material
+        mtype = materials.mtype[rows]
+        params = materials.params[rows]
+        e = _emitted_from(scene, rows, mtype, params[:, 6:9], hits)
+        atten, new_dir, scattered = _scatter_from(
+            scene, rows, mtype, params, hits, d_in, sc_sampler)
+        return e, atten, new_dir, scattered
+    e = emitted(scene, hits, em_sampler)
+    atten, new_dir, scattered = scatter(scene, hits, d_in, sc_sampler)
+    return e, atten, new_dir, scattered
 
 
 def alpha_test(scene, rows, uv, sampler):
