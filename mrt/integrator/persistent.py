@@ -236,10 +236,9 @@ def render_samples_persistent(scene, camera, width, height, seed,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
-                                   "pool", "rr_depth", "chunk_steps"))
+                                   "pool", "rr_depth"))
 def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
-                samples, *, width, height, max_depth, pool, rr_depth,
-                chunk_steps):
+                samples, *, width, height, max_depth, pool, rr_depth):
     total, make_rays, _ = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth)
@@ -249,9 +248,11 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
-                                   "pool", "rr_depth", "chunk_steps"))
-def _chunk_run(scene, camera, state, seed, sample_start, samples, *,
-               width, height, max_depth, pool, rr_depth, chunk_steps):
+                                   "pool", "rr_depth"))
+def _chunk_run(scene, camera, state, seed, sample_start, samples,
+               chunk_steps, *, width, height, max_depth, pool, rr_depth):
+    # chunk_steps is TRACED: the adaptive driver changes it per chunk
+    # without recompiling (remote compiles cost minutes here).
     total, _, step = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth)
@@ -268,6 +269,13 @@ def _chunk_run(scene, camera, state, seed, sample_start, samples, *,
     return state, jnp.any(state[0] < total)
 
 
+# Adaptive chunking: target seconds of device time per dispatch — long
+# enough to amortise the host/tunnel round-trip, far below the device
+# execution watchdog.
+CHUNK_TARGET_SECONDS = 10.0
+CHUNK_MAX_STEPS = 4096
+
+
 def render_samples_chunked(scene, camera, width, height, seed,
                            sample_start, samples, max_depth=MAX_DEPTH,
                            pool=POOL, film_sum=None, depth_sum=None,
@@ -275,8 +283,11 @@ def render_samples_chunked(scene, camera, width, height, seed,
     """Python-driven chunked dispatches (single-chip fast path).
 
     Identical results to `render_samples_persistent`; each dispatch is
-    bounded to `chunk_steps` wavefront steps.
+    bounded in wavefront steps, and the bound adapts to the measured
+    step rate so dispatches stay near CHUNK_TARGET_SECONDS.
     """
+    import time
+
     npix = width * height
     if film_sum is None:
         film_sum = jnp.zeros((npix, 3), jnp.float32)
@@ -284,12 +295,20 @@ def render_samples_chunked(scene, camera, width, height, seed,
         depth_sum = jnp.zeros((npix,), jnp.int32)
 
     statics = dict(width=width, height=height, max_depth=max_depth,
-                   pool=pool, rr_depth=rr_depth, chunk_steps=chunk_steps)
+                   pool=pool, rr_depth=rr_depth)
     state = _chunk_init(scene, camera, film_sum, depth_sum, seed,
                         sample_start, samples, **statics)
+    steps = chunk_steps
     while True:
+        t0 = time.perf_counter()
         state, more = _chunk_run(scene, camera, state, seed,
-                                 sample_start, samples, **statics)
-        if not bool(more):
+                                 sample_start, samples,
+                                 jnp.int32(steps), **statics)
+        more = bool(more)  # device sync: chunk has finished
+        dt = time.perf_counter() - t0
+        if not more:
             break
+        per_step = max(dt / steps, 1e-4)
+        steps = int(min(max(CHUNK_TARGET_SECONDS / per_step, CHUNK_STEPS),
+                        CHUNK_MAX_STEPS))
     return _unpack(state)
