@@ -60,14 +60,22 @@ class MaterialTable:
     tex_pmdg: jnp.ndarray   # (M,)  paint/material/dirt/glow texture id
     palette: jnp.ndarray    # (M,4,3) faction colors (eve.rs:136-198)
     glow3: jnp.ndarray      # (M,3) glow color
-    # Packed hot parameters [albedo4, fuzz, ior, emit3]: shading gathers
-    # this (M,9) matrix ONCE per wavefront instead of 5+ separate table
-    # gathers (gathers dominate shading cost on TPU).
-    params: jnp.ndarray     # (M,9)
 
     @property
     def count(self):
         return self.mtype.shape[0]
+
+    @property
+    def params(self):
+        """Packed hot parameters [albedo4, fuzz, ior, emit3] (M,9):
+        shading gathers this matrix ONCE per wavefront instead of 5+
+        separate table gathers (gathers dominate shading cost on TPU).
+        Computed on the fly so field updates (e.g. inverse rendering
+        optimising `albedo`) can never go stale; the concat is tiny
+        (M rows) and fuses."""
+        return jnp.concatenate(
+            [self.albedo, self.fuzz[:, None], self.ior[:, None],
+             self.emit], axis=1)
 
 
 class MaterialBuilder:
@@ -175,7 +183,4 @@ class MaterialBuilder:
             palette=jnp.asarray(
                 np.array([r["palette"] for r in rows], f32)),
             glow3=jnp.asarray(np.array([r["glow3"] for r in rows], f32)),
-            params=jnp.asarray(np.array(
-                [tuple(r["albedo"]) + (r["fuzz"], r["ior"])
-                 + tuple(r["emit"]) for r in rows], f32)),
         )
