@@ -1,1 +1,1 @@
-from . import pallas_spheres  # noqa: F401
+from . import pallas_spheres, pallas_bvh  # noqa: F401

@@ -152,3 +152,22 @@ class TestSampling:
         assert r.max() <= 1.0
         # Uniform disk: E[r^2] == 1/2.
         assert abs((r ** 2).mean() - 0.5) < 0.02
+
+
+class TestBatchedTransforms:
+    def test_batch_matches_single(self, rng):
+        from mrt.math import m4
+        t = rng.standard_normal((32, 3)).astype(np.float32)
+        r = rng.uniform(-0.5, 0.5, (32, 3)).astype(np.float32)
+        s = rng.uniform(0.5, 2.0, (32, 3)).astype(np.float32)
+        fb = m4.trs_batch_np(t, r, s)
+        ib = m4.trs_inverse_batch_np(t, r, s)
+        for i in (0, 7, 31):
+            np.testing.assert_allclose(
+                fb[i], np.asarray(m4.trs(t[i], r[i], s[i])),
+                rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                ib[i], np.asarray(m4.trs_inverse(t[i], r[i], s[i])),
+                rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(fb @ ib, np.tile(np.eye(4), (32, 1, 1)),
+                                   atol=1e-4)

@@ -3,7 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from mrt.textures import (AtlasBuilder, REPEAT, CLAMP, LIGHTEN, DARKEN,
+from mrt.textures import (AtlasBuilder, REPEAT, CLAMP, MIRROR, LIGHTEN, DARKEN,
                           ADDITION, SUBTRACTION)
 
 
@@ -177,3 +177,20 @@ class TestMaterialTextures:
             Sampler(0, jnp.arange(n, dtype=jnp.uint32)))
         np.testing.assert_allclose(np.asarray(atten),
                                    [[0.9, 0.1, 0.3]] * n, rtol=1e-5)
+
+
+class TestMirrorWrap:
+    def test_mirror_triangle_wave(self, rng):
+        # Mirror is unimplemented!() in the reference (texture.rs:279);
+        # ours implements the proper triangle wave.
+        from mrt.textures import MIRROR
+        img = rng.random((1, 5, 4)).astype(np.float32)
+        b = AtlasBuilder()
+        tid = b.add_raw(img, wrap=MIRROR)
+        atlas = b.build()
+        ids = jnp.full((3,), tid, jnp.int32)
+        uv = jnp.asarray([[0.25, 0.0], [-0.25, 0.0], [1.75, 0.0]])
+        out = np.asarray(atlas.sample(ids, uv))
+        # mirror(-0.25) == 0.25; mirror(1.75) == 0.25.
+        np.testing.assert_allclose(out[1], out[0], rtol=1e-5)
+        np.testing.assert_allclose(out[2], out[0], rtol=1e-5)
