@@ -131,11 +131,12 @@ def build_over_triangles(tris: Triangles, leaf_size=LEAF_SIZE):
     (nb_min, nb_max, first, count, escape), order = build(
         cent, bmin, bmax, leaf_size)
 
-    perm = jnp.asarray(order)
-    reordered = jax.tree.map(lambda x: x[perm], tris)
-    bvh = FlatBVH(bmin=jnp.asarray(nb_min), bmax=jnp.asarray(nb_max),
-                  first=jnp.asarray(first), count=jnp.asarray(count),
-                  escape=jnp.asarray(escape))
+    # Host-side reorder + host FlatBVH: mesh builds stay NumPy until the
+    # registry/scene build converts once (see Triangles.from_soup).
+    reordered = jax.tree.map(lambda x: np.asarray(x)[order], tris)
+    bvh = FlatBVH(bmin=nb_min.astype(np.float32),
+                  bmax=nb_max.astype(np.float32),
+                  first=first, count=count, escape=escape)
     return bvh, reordered
 
 
@@ -153,11 +154,22 @@ def _slab_test(bmin, bmax, o, inv_d, t_min, t_max):
     return near <= far
 
 
+
+def _device(tree):
+    """Promote host (NumPy-leaf) meshes/BVHs to device arrays.
+
+    Production scenes convert once at SceneBuilder.build(); this keeps
+    direct/test use of host-built structures working (a NumPy leaf
+    cannot be gather-indexed by a tracer).  No-op on device arrays.
+    """
+    return jax.tree.map(jnp.asarray, tree)
+
 def intersect_bvh_tris(tris: Triangles, bvh: FlatBVH, o, d, t_min, t_max):
     """Closest triangle hit via stackless BVH traversal.
 
     Returns (t, index, u, v) per ray like triangles.nearest_hit.
     """
+    tris, bvh = _device(tris), _device(bvh)
     n = o.shape[0]
     m = bvh.n_nodes
     inv_d = 1.0 / d
@@ -230,6 +242,7 @@ def intersect_bvh(tris: Triangles, bvh: FlatBVH, o, d, t_min, t_max,
     """Hits-producing wrapper used by Scene.intersect."""
     from .triangles import make_hits
 
+    tris, bvh = _device(tris), _device(bvh)
     t, i, u, v = intersect_bvh_tris(tris, bvh, o, d, t_min, t_max)
     return make_hits(tris, o, d, t, i, u, v)
 
@@ -260,6 +273,7 @@ def intersect_bvh_spheres(spheres, bvh: FlatBVH, o, d, t_min, t_max):
     """Closest sphere hit via stackless traversal; returns Hits."""
     from .spheres import make_hits
 
+    spheres, bvh = _device(spheres), _device(bvh)
     n = o.shape[0]
     m = bvh.n_nodes
     inv_d = 1.0 / d

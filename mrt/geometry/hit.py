@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # python float: no backend init at import time
 
 
 @struct.dataclass
@@ -26,6 +26,10 @@ class Hits:
     # primitives without UVs (spheres, volumes).
     tangent: jnp.ndarray     # (N,3)
     bitangent: jnp.ndarray   # (N,3)
+    # Light-pdf geometry of the hit primitive (for MIS, materials/
+    # lights.py): > 0 = world-space triangle area, < 0 = -sphere_radius,
+    # 0 = n/a (volumes, misses).
+    prim_area: jnp.ndarray = None   # (N,)
 
     @classmethod
     def none(cls, n):
@@ -40,6 +44,7 @@ class Hits:
             hit=jnp.zeros((n,), bool),
             tangent=jnp.zeros((n, 3), jnp.float32),
             bitangent=jnp.zeros((n, 3), jnp.float32),
+            prim_area=jnp.zeros((n,), jnp.float32),
         )
 
     @property
@@ -64,6 +69,8 @@ class Hits:
             hit=self.hit | other.hit,
             tangent=jnp.where(tv, other.tangent, self.tangent),
             bitangent=jnp.where(tv, other.bitangent, self.bitangent),
+            prim_area=jnp.where(take_other, other.prim_area,
+                                self.prim_area),
         )
 
 

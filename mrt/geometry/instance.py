@@ -112,8 +112,12 @@ class MeshRegistry:
             n_nodes += bvh.n_nodes
             n_tris += tris.count
 
+        # Concatenate on host, convert to device arrays exactly once
+        # (mesh leaves are NumPy until here; see Triangles.from_soup).
         tris = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *tris_list)
+            lambda *xs: jnp.asarray(
+                np.concatenate([np.asarray(x) for x in xs], axis=0)),
+            *tris_list)
 
         # Per-instance transforms + world AABBs from the 8 transformed
         # corners of the mesh root box (geom.rs:369-381) — vectorised:
@@ -325,6 +329,11 @@ def expand_winner(tlas: TLAS, o, d, best_t, best_inst, best_tri,
                              tris.bitangent[ti])
 
     normal_w, front_face = set_face_normal(d, normal_w)
+    # World-space triangle area for the MIS light pdf: transform the
+    # edges by the instance's forward linear part.
+    e1_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3], tris.e_ab[ti])
+    e2_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3], tris.e_ac[ti])
+    area_w = 0.5 * jnp.linalg.norm(jnp.cross(e1_w, e2_w), axis=-1)
     return Hits(
         t=jnp.where(hit, best_t, INF),
         point=point,
@@ -335,4 +344,5 @@ def expand_winner(tlas: TLAS, o, d, best_t, best_inst, best_tri,
         hit=hit,
         tangent=tangent_w,
         bitangent=bitangent_w,
+        prim_area=jnp.where(hit, area_w, 0.0),
     )

@@ -39,6 +39,8 @@ class Scene:
     bvh: Optional[Any] = None              # geometry.bvh.FlatBVH
     tlas: Optional[Any] = None             # geometry.instance.TLAS
     volumes: Optional[Any] = None          # geometry.volumes.VolumeSpheres
+    mesh_volumes: Any = None               # tuple[volumes.MeshVolume, ...]
+    #   media bounded by arbitrary instanced meshes (geom.rs:595-660)
     atlas: Optional[Any] = None            # textures.atlas.TextureAtlas
     lights: Optional[Any] = None           # materials.lights.LightTable
     #   non-None => the integrator adds next-event estimation (a
@@ -116,11 +118,14 @@ class Scene:
             from . import triangles as tri_mod  # local: avoid import cycle
             if self.bvh is not None:
                 from . import spheres as sph_mod
-                # Packet kernel needs BVH + triangles resident in VMEM.
-                vmem_bytes = (self.bvh.n_nodes * 48
-                              + self.triangles.count * 40)
+                from ..ops import budget
+                # One audited SMEM budget for every packet kernel's
+                # tables (round-1 had an inconsistent 8MB "VMEM" gate
+                # here that could fault Mosaic on ~50k-tri meshes).
+                smem_bytes = budget.tri_tables_bytes(
+                    self.bvh.n_nodes, self.triangles.count)
                 if (sph_mod._use_pallas()
-                        and vmem_bytes < 8 * 1024 * 1024):
+                        and budget.fits(smem_bytes)):
                     from ..ops import pallas_bvh
                     hits = hits.closer_of(pallas_bvh.intersect_bvh_tris(
                         self.triangles, self.bvh, o, d, t_min, t_max))
@@ -134,15 +139,19 @@ class Scene:
                     self.triangles, o, d, t_min, t_max, scene=self))
         if self.tlas is not None:
             from . import spheres as sph_mod
-            # Packet kernel tables must fit SMEM (~512KB budget).
-            smem_bytes = (self.tlas.n_tlas_nodes * 40
-                          + self.tlas.transform.shape[0] * 56
-                          + self.tlas.bmin.shape[0] * 48
-                          + self.tlas.tris.count * 36)
-            if (sph_mod._use_pallas() and smem_bytes < 512 * 1024):
-                from ..ops import pallas_bvh
-                hits = hits.closer_of(pallas_bvh.intersect_tlas(
-                    self.tlas, o, d, t_min, t_max))
+            from ..ops import budget
+            if sph_mod._use_pallas():
+                if budget.fits(budget.tlas_tables_bytes(self.tlas)):
+                    from ..ops import pallas_bvh
+                    hits = hits.closer_of(pallas_bvh.intersect_tlas(
+                        self.tlas, o, d, t_min, t_max))
+                else:
+                    # Oversized tables: HBM-streamed packet kernel
+                    # (never the gather fallback, which faults the chip
+                    # at large ray counts).
+                    from ..ops import pallas_stream
+                    hits = hits.closer_of(pallas_stream.intersect_tlas(
+                        self.tlas, o, d, t_min, t_max))
             else:
                 from . import instance as inst_mod
                 hits = hits.closer_of(inst_mod.intersect_tlas(
@@ -156,6 +165,14 @@ class Scene:
             u = jnp.stack([sampler.next1() for _ in range(v)], axis=-1)
             hits = hits.closer_of(vol_mod.intersect(
                 self.volumes, o, d, t_min, t_max, u))
+        if self.mesh_volumes:
+            from . import volumes as vol_mod
+            if sampler is None:
+                raise ValueError("scene has volumes: intersect needs a "
+                                 "sampler for free-flight randomness")
+            for vol in self.mesh_volumes:
+                hits = hits.closer_of(vol_mod.intersect_mesh(
+                    vol, o, d, t_min, t_max, sampler.next1()))
         if self.atlas is not None and shading_aux:
             from ..materials import shade
             hits = shade.apply_normal_maps(self, hits, d)
@@ -187,6 +204,7 @@ class SceneBuilder:
         self._registry = None
         self._tri_groups = []
         self._volumes = []
+        self._mesh_volumes = []
 
     def _ensure_registry(self):
         if self._registry is None:
@@ -226,6 +244,18 @@ class SceneBuilder:
         self._volumes.append((tuple(center), float(radius),
                               -1.0 / float(density), mat))
 
+    def add_volume_mesh(self, tris, density, albedo, translation=(0, 0, 0),
+                        rotation=(0, 0, 0), scale=(1, 1, 1)):
+        """Fog volume bounded by an arbitrary (instanced) mesh — the
+        reference's general `Volume<I>` over a transformed Model
+        (geom.rs:595-660); rotation in turns."""
+        mat = self._materials.isotropic(tuple(albedo))
+        from .instance import MeshRegistry
+        reg = MeshRegistry()
+        mesh = reg.add_mesh(tris)
+        reg.add_instance(mesh, translation, rotation, scale)
+        self._mesh_volumes.append((reg, -1.0 / float(density), mat))
+
     # Sphere sets at or above this size get a BVH (brute force wins for
     # small counts; traversal overhead dominates below ~tens).
     SPHERE_BVH_THRESHOLD = 64
@@ -253,7 +283,9 @@ class SceneBuilder:
         triangles = None
         if self._tri_groups:
             triangles = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *self._tri_groups)
+                lambda *xs: jnp.asarray(
+                    np.concatenate([np.asarray(x) for x in xs], axis=0)),
+                *self._tri_groups)
 
         tlas = None
         if self._registry is not None and self._registry._instances:
@@ -272,6 +304,15 @@ class SceneBuilder:
                 material=jnp.asarray(
                     np.array([v[3] for v in self._volumes], np.int32)))
 
+        mesh_volumes = None
+        if self._mesh_volumes:
+            from .volumes import MeshVolume
+            mesh_volumes = tuple(
+                MeshVolume(tlas=reg.build(),
+                           neg_inv_density=jnp.float32(nid),
+                           material=jnp.int32(mat))
+                for reg, nid, mat in self._mesh_volumes)
+
         scene = Scene(
             materials=self._materials.build(),
             background=self._background,
@@ -280,6 +321,7 @@ class SceneBuilder:
             triangles=triangles,
             tlas=tlas,
             volumes=volumes,
+            mesh_volumes=mesh_volumes,
             atlas=self._atlas,
             needs_alpha=(self._atlas is not None
                          and self._materials.may_alpha_test()),

@@ -133,6 +133,7 @@ def make_hits(spheres: Spheres, o, d, t, index) -> Hits:
         hit=hit,
         tangent=jnp.zeros_like(point),
         bitangent=jnp.zeros_like(point),
+        prim_area=jnp.where(hit, -r, 0.0),  # <0 = sphere (MIS pdf)
     )
 
 

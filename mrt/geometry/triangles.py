@@ -123,13 +123,18 @@ class Triangles:
             tangent = (ab * uv_ac[:, 1:2] - ac * uv_ab[:, 1:2]) * r[:, None]
             bitangent = (ac * uv_ab[:, 0:1] - ab * uv_ac[:, 0:1]) * r[:, None]
 
-        material = np.broadcast_to(np.asarray(material, np.int32), (t,))
-        j = jnp.asarray
-        return cls(va=j(va), e_ab=j(ab), e_ac=j(ac),
-                   na=j(na), nb=j(nb), nc=j(nc),
-                   uva=j(uva), uvb=j(uvb), uvc=j(uvc),
-                   tangent=j(tangent), bitangent=j(bitangent),
-                   material=j(material), has_uv=j(has_uv))
+        material = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(material, np.int32), (t,)))
+        # Leaves stay NumPy: mesh construction, BVH builds and scene
+        # assembly all happen on host; SceneBuilder/MeshRegistry convert
+        # to device arrays exactly once at build() (jit auto-converts any
+        # that reach device code directly).  Keeping jnp here made every
+        # scene generate() dispatch dozens of tiny remote ops.
+        return cls(va=va, e_ab=ab, e_ac=ac,
+                   na=na, nb=nb, nc=nc,
+                   uva=uva, uvb=uvb, uvc=uvc,
+                   tangent=tangent, bitangent=bitangent,
+                   material=material, has_uv=has_uv)
 
 
 def _pad_to(x, n, fill=0.0):
@@ -221,6 +226,8 @@ def make_hits(tris: Triangles, o, d, t, index, u, v) -> Hits:
           + tris.uvc[index] * vv)
     uv = jnp.where(tris.has_uv[index][:, None], uv, 0.0)
     normal, front_face = set_face_normal(d, normal)
+    area = 0.5 * jnp.linalg.norm(
+        jnp.cross(tris.e_ab[index], tris.e_ac[index]), axis=-1)
     return Hits(
         t=jnp.where(hit, t, INF),
         point=point,
@@ -231,9 +238,12 @@ def make_hits(tris: Triangles, o, d, t, index, u, v) -> Hits:
         hit=hit,
         tangent=tris.tangent[index],
         bitangent=tris.bitangent[index],
+        prim_area=jnp.where(hit, area, 0.0),
     )
 
 
 def intersect_brute(tris: Triangles, o, d, t_min, t_max, scene=None) -> Hits:
+    import jax
+    tris = jax.tree.map(jnp.asarray, tris)  # host meshes -> device
     t, index, u, v = nearest_hit(tris, o, d, t_min, t_max)
     return make_hits(tris, o, d, t, index, u, v)

@@ -1,10 +1,15 @@
-"""Homogeneous participating media bounded by spheres.
+"""Homogeneous participating media: sphere-bounded (analytic) and
+arbitrary-mesh-bounded.
 
 The reference's `Volume<I>` wraps any `Intersect` and samples an
 exponential free-flight distance between the boundary's entry and exit
-hits (reference: src/geom.rs:595-660); every scene that uses it wraps a
-`Sphere` (scenes/eve.rs:33-45), so the SoA form is a set of volume
-spheres.  Scatter events use the Isotropic material class.
+hits (reference: src/geom.rs:595-660).  Every reference *scene* wraps a
+`Sphere` (scenes/eve.rs:33-45) — `VolumeSpheres` is the fast analytic
+SoA form for that case — while `MeshVolume` reproduces the general
+capability: the boundary is any instanced mesh, entry/exit found by two
+TLAS traversals exactly like the reference's two nested
+`target.intersect` calls (geom.rs:612-619).  Scatter events use the
+Isotropic material class.
 
 Semantics matched to geom.rs:611-655:
   entry = near sphere root with t_min = -inf; exit = next root after
@@ -88,4 +93,65 @@ def intersect(vols: VolumeSpheres, o, d, t_min, t_max, u) -> Hits:
         hit=hit,
         tangent=jnp.zeros((n, 3), jnp.float32),
         bitangent=jnp.zeros((n, 3), jnp.float32),
+        prim_area=jnp.zeros((n,), jnp.float32),
+    )
+
+
+from typing import Any
+
+
+@struct.dataclass
+class MeshVolume:
+    """A homogeneous medium bounded by one instanced mesh
+    (geom.rs:595-660 `Volume<I>` with I = transformed Model)."""
+    tlas: Any                      # single-instance TLAS of the boundary
+    neg_inv_density: jnp.ndarray   # ()  -1/density
+    material: jnp.ndarray          # ()  isotropic material row
+
+
+def intersect_mesh(vol: MeshVolume, o, d, t_min, t_max, u) -> Hits:
+    """Reference Volume::intersect semantics over a mesh boundary.
+
+    entry = closest boundary hit with (-inf, inf); exit = closest hit
+    after entry + 1e-4 (geom.rs:612-619); clamps and the exponential
+    free flight as in the sphere path.  u: (N,) uniforms.
+    """
+    from .instance import intersect_tlas
+
+    n = o.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+    h_enter = intersect_tlas(vol.tlas, o, d, neg_inf, jnp.inf)
+    t0 = h_enter.t                                     # INF on miss
+    h_exit = intersect_tlas(vol.tlas, o, d,
+                            jnp.where(h_enter.hit, t0 + 1e-4, 0.0),
+                            jnp.inf)
+    t1 = h_exit.t
+    has_exit = h_enter.hit & h_exit.hit
+
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    enter = jnp.maximum(jnp.where(h_enter.hit, t0, 0.0), t_min)
+    exit_ = jnp.minimum(jnp.where(has_exit, t1, 0.0), t_max_b)
+    ok = has_exit & (enter < exit_)
+    enter = jnp.maximum(enter, 0.0)
+
+    ray_len = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    dist_inside = (exit_ - enter) * ray_len
+    hit_dist = jnp.log(jnp.maximum(u, 1e-38)) * vol.neg_inv_density
+    ok = ok & (hit_dist <= dist_inside)
+
+    t = jnp.where(ok, enter + hit_dist / ray_len, INF)
+    hit = jnp.isfinite(t)
+    t_safe = jnp.where(hit, t, 0.0)
+    normal = jnp.zeros((n, 3), jnp.float32).at[:, 0].set(1.0)
+    return Hits(
+        t=t,
+        point=o + d * t_safe[:, None],
+        normal=normal,                       # arbitrary (geom.rs:647)
+        front_face=jnp.ones((n,), bool),     # geom.rs:650
+        uv=jnp.zeros((n, 2), jnp.float32),
+        material=jnp.broadcast_to(vol.material, (n,)),
+        hit=hit,
+        tangent=jnp.zeros((n, 3), jnp.float32),
+        bitangent=jnp.zeros((n, 3), jnp.float32),
+        prim_area=jnp.zeros((n,), jnp.float32),
     )

@@ -15,11 +15,12 @@ cheaper than threefry and plenty for Monte Carlo rendering.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-_MUL = jnp.uint32(1664525)
-_INC = jnp.uint32(1013904223)
-_INV_2_24 = jnp.float32(1.0 / 16777216.0)
+_MUL = np.uint32(1664525)
+_INC = np.uint32(1013904223)
+_INV_2_24 = np.float32(1.0 / 16777216.0)
 
 
 def pcg4d(x, y, z, w):

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-TAU = jnp.float32(2.0 * np.pi)
+TAU = float(2.0 * np.pi)  # python float: no backend init at import
 
 
 def unit_vector(u1, u2):

@@ -356,6 +356,8 @@ def intersect_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
     BVHs small enough for VMEM).  Returns a Hits record."""
     from ..geometry.triangles import make_hits, DET_EPS
 
+    tris = jax.tree.map(jnp.asarray, tris)
+    bvh = jax.tree.map(jnp.asarray, bvh)
     n = o.shape[0]
     m = bvh.n_nodes
 

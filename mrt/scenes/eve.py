@@ -105,18 +105,18 @@ def _synth_packed_textures(atlas: AtlasBuilder, rng, size=64):
 
 
 def _standin_ship(material, seed=0):
-    """A procedural winged-hull mesh with UVs + smooth normals."""
+    """A procedural winged-hull mesh with UVs + smooth normals (pure
+    NumPy: scene generate() must not dispatch device ops)."""
     from ..geometry.shapes import cube, sphere_mesh
     import jax
-    import jax.numpy as jnp
 
     body = sphere_mesh((0, 0, 0), 1.0, lat=6, lon=10, material=material)
-    stretch = jnp.asarray([[3.0, 0.6, 1.0]])
+    stretch = np.asarray([[3.0, 0.6, 1.0]], np.float32)
     body = body.replace(va=body.va * stretch, e_ab=body.e_ab * stretch,
                         e_ac=body.e_ac * stretch)
     wing = cube((0.0, 0.0, 0.0), (1.2, 0.1, 4.0), material=material)
     tail = cube((-2.2, 0.4, 0.0), (1.4, 0.8, 0.3), material=material)
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+    return jax.tree.map(lambda *xs: np.concatenate(xs, 0),
                         body, wing, tail)
 
 

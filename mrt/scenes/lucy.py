@@ -43,8 +43,7 @@ def _standin_statue():
                            ((0, 0.5, 0), 0.25), ((0, 0.85, 0), 0.15)]:
         parts.append(sphere_mesh(center, radius, lat=8, lon=12))
     import jax
-    import jax.numpy as jnp
-    tris = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+    tris = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *parts)
     return tris, 1.0
 
 

@@ -1,0 +1,52 @@
+"""Hardware A/B of Menger level-5 configurations.
+
+Times one full persistent-integrator render step batch per config by
+rendering a small spp at moderate resolution — the real path (TLAS via
+the budget gate: resident packet kernel if it fits, streamed kernel
+otherwise).
+
+  python tools/tpu_menger_bench.py [bake ...]
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    print("devices:", jax.devices(), flush=True)
+
+    from mrt.scenes.menger import Menger
+    from mrt.runtime.render import render
+    from mrt.ops import pallas_stream, budget
+
+    bakes = [int(a) for a in sys.argv[1:]] or [3, 2]
+    W, H, SPP, DEPTH = 480, 270, 2, 8
+
+    for bake in bakes:
+        t0 = time.time()
+        scene, camera = Menger(level=5, bake=bake).generate()
+        nb = time.time() - t0
+        tb = budget.tlas_tables_bytes(scene.tlas)
+        plan = (None if budget.fits(tb)
+                else pallas_stream.choose_streaming(scene.tlas))
+        print(f"bake={bake}: build {nb:.1f}s "
+              f"inst={scene.tlas.transform.shape[0]} "
+              f"tris={scene.tlas.tris.count} tables={tb//1024}KB "
+              f"plan={plan}", flush=True)
+        t0 = time.time()
+        film = render(scene, camera, W, H, spp=SPP, max_depth=DEPTH,
+                      seed=1, persistent=True)
+        jax.block_until_ready(film.sum)
+        dt = time.time() - t0
+        rays = W * H * SPP
+        segs = float(np.asarray(film.depth_sum).sum())
+        print(f"bake={bake}: {dt:.1f}s for {SPP}spp {W}x{H} d{DEPTH} "
+              f"-> {rays/dt/1e3:.1f}k cam rays/s, "
+              f"{segs/dt/1e6:.2f}M segs/s", flush=True)
+    print("MENGER_BENCH_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
