@@ -27,7 +27,7 @@ def albedo_normal(scene, o, d, ray_id, seed):
     hits = scene.intersect(o, d, t_min=T_MIN, sampler=vol_sampler)
     em_sampler = Sampler(seed, ray_id, salt=0xA07)
     sc_sampler = Sampler(seed, ray_id, salt=0xA08)
-    emitted, atten, _, scattered = shade.shade_hit(
+    emitted, atten, _, scattered, _ = shade.shade_hit(
         scene, hits, d, em_sampler, sc_sampler)
     background = scene.background_eval(d)
 

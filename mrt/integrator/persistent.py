@@ -77,7 +77,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
     def step(state):
         (item, bounce, o, d, throughput, ray_id, next_work,
-         packed, prev_nee) = state
+         packed, prev_pdf) = state
         active = item < total
         pixel = jnp.clip(item, 0, total - 1) % npix  # local index
 
@@ -86,7 +86,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         hits = scene.intersect(o, d, t_min=T_MIN, sampler=vol_sampler)
         em_sampler = Sampler(seed, ray_id, salt=3 * b)
         sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
-        emitted, atten, new_dir, scattered = shade.shade_hit(
+        emitted, atten, new_dir, scattered, lobe = shade.shade_hit(
             scene, hits, d, em_sampler, sc_sampler)
         background = scene.background_eval(d)
 
@@ -94,29 +94,36 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         miss = ~hits.hit & active
 
         if scene.lights is not None:
-            # NEE suppression (see wavefront._bounce).
+            # NEE+MIS emission weighting (see wavefront._bounce).
             from ..materials import table as T
+            from ..materials import lights as lights_mod
 
             is_light = (scene.materials.mtype[hits.material]
                         == T.DIFFUSE_LIGHT)
-            emitted = jnp.where((prev_nee & is_light)[:, None], 0.0,
-                                emitted)
+            w_b = lights_mod.mis_bsdf_weight(scene, hits, o, d,
+                                             prev_pdf)
+            emitted = emitted * jnp.where(is_light & (prev_pdf > 0.0),
+                                          w_b, 1.0)[:, None]
 
         radiance_add = (jnp.where(miss[:, None], background, 0.0)
                         + jnp.where(hit[:, None], emitted, 0.0))
         radiance_add = jnp.where(active[:, None],
                                  throughput * radiance_add, 0.0)
 
-        did_nee = jnp.zeros_like(hit)
+        next_pdf = jnp.zeros_like(prev_pdf)
         if scene.lights is not None:
             from ..materials import lights as lights_mod
+            from ..math import vec
 
             nee_sampler = Sampler(seed, ray_id, salt=(1 << 30) + 3 * b)
             direct, did_nee = lights_mod.sample_direct(scene, hits,
-                                                       nee_sampler)
+                                                       nee_sampler,
+                                                       lobe=lobe)
             did_nee = did_nee & hit
             radiance_add = radiance_add + jnp.where(
                 did_nee[:, None], throughput * atten * direct, 0.0)
+            next_pdf = lights_mod.bsdf_pdf(lobe, vec.unit(hits.normal),
+                                           vec.unit(new_dir))
 
         scat = hit & scattered
         cont = scat & (b + 1 < max_depth)
@@ -164,10 +171,10 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
                       throughput))
         ray_id = jnp.where(cont, ray_id, jnp.where(takes, nrid, ray_id))
         bounce = jnp.where(cont, b + 1, 0)
-        prev_nee = did_nee & cont
+        prev_pdf = jnp.where(cont, next_pdf, 0.0)
 
         return (item, bounce, o, d, throughput, ray_id, next_work,
-                packed, prev_nee)
+                packed, prev_pdf)
 
     return total, make_rays, step
 
@@ -181,7 +188,6 @@ def _init_state(make_rays, pool, film_sum, depth_sum, vzero_f, vzero_i):
         axis=-1) + vzero_f
     init_item = jnp.arange(pool, dtype=jnp.int32) + vzero_i
     o0, d0, rid0 = make_rays(init_item)
-    false_lanes = jnp.zeros((pool,), bool) | (vzero_i != 0)
     return (
         init_item,                                   # work item
         jnp.zeros((pool,), jnp.int32) + vzero_i,     # bounce
@@ -190,7 +196,7 @@ def _init_state(make_rays, pool, film_sum, depth_sum, vzero_f, vzero_i):
         rid0,
         jnp.int32(pool) + vzero_i,                   # next_work
         packed,
-        false_lanes,                                 # prev_nee
+        jnp.zeros((pool,), jnp.float32) + vzero_f,   # prev_pdf (MIS)
     )
 
 

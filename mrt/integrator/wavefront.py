@@ -42,7 +42,7 @@ def _bounce(scene, ray_id, seed, b, state, rr_depth=None):
     an opt-in, unbiased way to kill deep low-energy paths early
     (beyond-reference; the reference runs every path to MAX_DEPTH).
     """
-    o, d, throughput, radiance, alive, bounces, prev_nee = state
+    o, d, throughput, radiance, alive, bounces, prev_pdf = state
     # Per-bounce samplers: every draw is a pure function of
     # (seed, ray_id, bounce), so results are schedule-invariant.
     vol_sampler = Sampler(seed, ray_id, salt=3 * b + 2)
@@ -51,7 +51,7 @@ def _bounce(scene, ray_id, seed, b, state, rr_depth=None):
     em_sampler = Sampler(seed, ray_id, salt=3 * b)
     sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
 
-    emitted, atten, new_dir, scattered = shade.shade_hit(
+    emitted, atten, new_dir, scattered, lobe = shade.shade_hit(
         scene, hits, d, em_sampler, sc_sampler)
 
     background = scene.background_eval(d)
@@ -61,30 +61,40 @@ def _bounce(scene, ray_id, seed, b, state, rr_depth=None):
     miss = ~hits.hit & live
 
     if scene.lights is not None:
-        # NEE (beyond-reference, opt-in): the previous vertex sampled
-        # the lights directly, so emission found again by the BSDF
-        # continuation must not double count.
+        # NEE+MIS (beyond-reference, opt-in): emission found by the
+        # BSDF continuation of an NEE-capable vertex is weighted by the
+        # power heuristic against the light-sampling pdf (prev_pdf = 0
+        # means the previous vertex did no NEE -> full emission).
         from ..materials import table as T
+        from ..materials import lights as lights_mod
 
         is_light = (scene.materials.mtype[hits.material]
                     == T.DIFFUSE_LIGHT)
-        emitted = jnp.where((prev_nee & is_light)[:, None], 0.0, emitted)
+        w_b = lights_mod.mis_bsdf_weight(scene, hits, o, d, prev_pdf)
+        emitted = emitted * jnp.where(is_light & (prev_pdf > 0.0),
+                                      w_b, 1.0)[:, None]
 
     contrib = (jnp.where(miss[:, None], background, 0.0)
                + jnp.where(hit[:, None], emitted, 0.0))
     radiance = radiance + throughput * contrib
 
-    did_nee = jnp.zeros_like(hit)
+    next_pdf = jnp.zeros_like(prev_pdf)
     if scene.lights is not None:
         from ..materials import lights as lights_mod
+        from ..math import vec
 
         # High-salt stream: never collides with the 3b+k bounce salts.
         nee_sampler = Sampler(seed, ray_id, salt=(1 << 30) + 3 * b)
         direct, did_nee = lights_mod.sample_direct(scene, hits,
-                                                   nee_sampler)
+                                                   nee_sampler,
+                                                   lobe=lobe)
         did_nee = did_nee & hit
         radiance = radiance + jnp.where(
             did_nee[:, None], throughput * atten * direct, 0.0)
+        # pdf of the chosen continuation under this vertex's lobe (the
+        # other half of the MIS pair, consumed next bounce).
+        next_pdf = lights_mod.bsdf_pdf(lobe, vec.unit(hits.normal),
+                                       vec.unit(new_dir))
 
     cont = hit & scattered
     throughput = jnp.where(cont[:, None], throughput * atten, throughput)
@@ -102,11 +112,12 @@ def _bounce(scene, ray_id, seed, b, state, rr_depth=None):
     o = jnp.where(cont[:, None], hits.point, o)
     d = jnp.where(cont[:, None], new_dir, d)
     bounces = bounces + cont.astype(jnp.int32)
-    return (o, d, throughput, radiance, cont, bounces, did_nee & cont)
+    return (o, d, throughput, radiance, cont, bounces,
+            jnp.where(cont, next_pdf, 0.0))
 
 
 def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
-                    differentiable=False, rr_depth=None):
+                    differentiable=False, rr_depth=None, alive0=None):
     """Trace N rays to completion.
 
     Args:
@@ -129,13 +140,16 @@ def trace_wavefront(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
     """
     # Carry inits derive from the ray arrays so they inherit the rays'
     # varying-axes type under shard_map (fresh ones/zeros would not).
+    # alive0 masks batch-pad lanes dead from bounce 0 so they never
+    # extend the while_loop or waste leaf tests.
     init = (
         o, d,
         jnp.ones_like(o),
         jnp.zeros_like(o),
-        jnp.full_like(o[:, 0], True, dtype=bool),
+        (jnp.full_like(o[:, 0], True, dtype=bool)
+         if alive0 is None else alive0),
         jnp.zeros_like(o[:, 0], dtype=jnp.int32),
-        jnp.full_like(o[:, 0], False, dtype=bool),   # prev_nee
+        jnp.zeros_like(o[:, 0]),                     # prev_pdf (MIS)
     )
 
     if differentiable:
@@ -195,13 +209,16 @@ def trace_batched(scene, o, d, ray_id, seed, max_depth=MAX_DEPTH,
     o_b = pad_to(o, 0.0).reshape(k, batch_size, 3)
     d_b = pad_to(d, 1.0).reshape(k, batch_size, 3)  # avoid unit(0) NaNs
     id_b = pad_to(ray_id, 0).reshape(k, batch_size)
+    alive_b = jnp.pad(jnp.ones((n,), bool), (0, pad),
+                      constant_values=False).reshape(k, batch_size)
 
     def body(args):
-        ob, db, ib = args
+        ob, db, ib, ab = args
         return trace_wavefront(scene, ob, db, ib, seed,
-                               max_depth=max_depth, rr_depth=rr_depth)
+                               max_depth=max_depth, rr_depth=rr_depth,
+                               alive0=ab)
 
-    radiance, bounces = jax.lax.map(body, (o_b, d_b, id_b))
+    radiance, bounces = jax.lax.map(body, (o_b, d_b, id_b, alive_b))
     return (radiance.reshape(k * batch_size, 3)[:n],
             bounces.reshape(k * batch_size)[:n])
 

@@ -9,9 +9,21 @@ suns.  This module adds an *opt-in* light table + NEE sampling:
     from emissive mesh triangles, baked to world space per instance;
   - sphere lights sampled by the subtended cone (solid-angle pdf), the
     right strategy for huge distant suns (scenes/lucy.rs sun);
-  - a one-sample uniform light pick per diffuse vertex; emission is
-    then suppressed when the BSDF continuation of an NEE'd vertex hits
-    a light (the unbiased "split" convention, no double counting).
+  - a one-sample uniform light pick per NEE-capable vertex (any vertex
+    that scattered through a cosine lobe — Lambertian and the
+    Lambertian arms of Specular/EVE — or the isotropic volume phase);
+  - multiple importance sampling (power heuristic, beta=2) between the
+    light sample and the BSDF continuation: the light sample is scaled
+    by p_L^2/(p_L^2+p_B^2) and emission found by the continuation ray
+    by p_B^2/(p_B^2+p_L^2), so the pair stays a partition of unity and
+    the estimator is unbiased with lower variance than either strategy
+    or the round-1 "split" convention (which zeroed BSDF-found emission
+    after an NEE vertex entirely).
+
+The cosine-lobe pdf uses the *unit* shading normal; mesh smooth normals
+are unnormalised (reference quirk, geom.rs:552), so for those the
+weights are an approximate-but-consistent partition of unity — still
+unbiased, as MIS only needs the two weights to sum to 1.
 
 Renders with a light table attached are a *different estimator* with
 the same expectation — goldens and reference-parity tests use scenes
@@ -138,21 +150,43 @@ def collect_lights(scene) -> LightTable | None:
         area=jnp.asarray(np.array(areas, np.float32)))
 
 
-def sample_direct(scene, hits, sampler):
-    """One-sample NEE at diffuse vertices.
+def bsdf_pdf(lobe, n_unit, w):
+    """Solid-angle pdf of the scatter lobe for direction w.
+
+    lobe: 0 none, 1 cosine (pdf cos/pi over the hemisphere), 2 isotropic
+    (1/4pi).  Used on both sides of the MIS weights, so it only needs to
+    be consistent, not exact (see module docstring).
+    """
+    cos_p = jnp.sum(w * n_unit, axis=-1)
+    pdf_cos = jnp.maximum(cos_p, 0.0) / jnp.pi
+    return jnp.where(lobe == 1, pdf_cos,
+                     jnp.where(lobe == 2, 1.0 / (2.0 * TAU), 0.0))
+
+
+def sample_direct(scene, hits, sampler, lobe=None):
+    """One-sample MIS-weighted NEE at NEE-capable vertices.
 
     Returns (direct (N,3) radiance-to-multiply-by-throughput-and-albedo,
-    did_nee (N,) bool).  `direct` already includes the 1/pi BRDF
-    normalisation, the geometry/solid-angle pdf, and the light-pick
-    probability; multiply by the vertex albedo and path throughput.
+    did_nee (N,) bool).  `direct` already includes the lobe's f-term
+    (cos/pi cosine lobe, 1/4pi isotropic phase), the geometry/
+    solid-angle pdf, the light-pick probability and the MIS weight;
+    multiply by the vertex albedo and path throughput.
+
+    lobe: per-ray scatter lobe from shade.shade_hit; None falls back to
+    "Lambertian rows only" (the round-1 convention) with no MIS.
     """
     from ..materials import table as T
 
     lights = scene.lights
     L = lights.count
     n = hits.material.shape[0]
-    mtype = scene.materials.mtype[hits.material]
-    diffuse = hits.hit & (mtype == T.LAMBERTIAN)
+    if lobe is None:
+        mtype = scene.materials.mtype[hits.material]
+        lobe = jnp.where(mtype == T.LAMBERTIAN, 1, 0)
+        mis = False
+    else:
+        mis = True
+    capable = hits.hit & (lobe > 0)
 
     u_pick, u1, u2, _ = sampler.next4()
     li = jnp.minimum((u_pick * L).astype(jnp.int32), L - 1)
@@ -167,6 +201,8 @@ def sample_direct(scene, hits, sampler):
 
     p = hits.point
     nrm = hits.normal
+    n_unit = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
 
     # --- triangle lights: uniform area sample + G term ------------------
     su = jnp.sqrt(jnp.maximum(u1, 1e-12))
@@ -181,11 +217,15 @@ def sample_direct(scene, hits, sampler):
     dist2_tri = jnp.sum(to_tri * to_tri, axis=-1)
     dist_tri = jnp.sqrt(jnp.maximum(dist2_tri, 1e-12))
     w_tri = to_tri / dist_tri[:, None]
-    cos_p_tri = jnp.sum(w_tri * nrm, axis=-1)
+    cos_p_tri = jnp.sum(w_tri * n_unit, axis=-1)
     cos_l_tri = jnp.abs(jnp.sum(w_tri * tri_n, axis=-1))
-    # f/pdf for area sampling: (1/pi) * cos_p * cos_l * area / dist^2.
-    weight_tri = (cos_p_tri * cos_l_tri * area
-                  / jnp.maximum(dist2_tri, 1e-12) / jnp.pi)
+    # f/pdf for area sampling: f * cos_l * area / dist^2, where f is the
+    # lobe's BRDF-with-cos over albedo: cos_p/pi (cosine) or 1/4pi.
+    f_tri = jnp.where(lobe == 2, 1.0 / (2.0 * TAU), cos_p_tri / jnp.pi)
+    weight_tri = (f_tri * cos_l_tri * area
+                  / jnp.maximum(dist2_tri, 1e-12))
+    # Solid-angle pdf of this light sample (for the MIS weight).
+    psa_tri = dist2_tri / jnp.maximum(cos_l_tri * area, 1e-12)
 
     # --- sphere lights: cone (solid-angle) sampling ---------------------
     to_c = p0 - p
@@ -208,10 +248,12 @@ def sample_direct(scene, hits, sampler):
     w_sph = (axis * cos_theta[:, None]
              + t1 * (sin_theta * jnp.cos(phi))[:, None]
              + t2 * (sin_theta * jnp.sin(phi))[:, None])
-    cos_p_sph = jnp.sum(w_sph * nrm, axis=-1)
+    cos_p_sph = jnp.sum(w_sph * n_unit, axis=-1)
     solid_angle = TAU * (1.0 - cos_max)
-    # f/pdf for solid-angle sampling: (1/pi) * cos_p * solid_angle.
-    weight_sph = cos_p_sph * solid_angle / jnp.pi
+    # f/pdf for solid-angle sampling: f * solid_angle.
+    f_sph = jnp.where(lobe == 2, 1.0 / (2.0 * TAU), cos_p_sph / jnp.pi)
+    weight_sph = f_sph * solid_angle
+    psa_sph = 1.0 / jnp.maximum(solid_angle, 1e-12)
     # Distance to the sphere along w (for the shadow-ray clip): the
     # near intersection of the cone sample direction.
     b_q = jnp.sum(w_sph * (-to_c), axis=-1)
@@ -224,7 +266,14 @@ def sample_direct(scene, hits, sampler):
     weight = jnp.where(is_tri, weight_tri, weight_sph)
     dist = jnp.where(is_tri, dist_tri, dist_sph)
 
-    valid = diffuse & (weight > 0.0)
+    valid = capable & (weight > 0.0)
+
+    if mis:
+        p_light = jnp.where(is_tri, psa_tri, psa_sph) / float(L)
+        p_b = bsdf_pdf(lobe, n_unit, w)
+        w_mis = (p_light * p_light
+                 / jnp.maximum(p_light * p_light + p_b * p_b, 1e-20))
+        weight = weight * w_mis
 
     # Shadow ray: any blocker strictly before the light point?
     shadow_hits = scene.intersect(
@@ -236,3 +285,48 @@ def sample_direct(scene, hits, sampler):
     direct = (emission * (weight * float(L))[:, None]
               * (valid & unoccluded)[:, None])
     return direct, valid
+
+
+def mis_bsdf_weight(scene, hits, o, d, prev_pdf):
+    """Power-heuristic weight for emission found by the BSDF
+    continuation of an NEE-capable vertex.
+
+    o, d: the continuation ray (origin = the previous vertex);
+    prev_pdf: the solid-angle pdf of choosing d at that vertex (0 when
+    the vertex did no NEE — then the caller keeps full emission).
+    Reconstructs the pdf with which light sampling at o would have
+    generated this direction from the hit geometry (Hits.prim_area:
+    world tri area, or -radius for spheres).
+    """
+    lights = scene.lights
+    L = float(lights.count)
+
+    d_len = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-20)
+    w = d / d_len[:, None]
+    t_safe = jnp.where(hits.hit, hits.t, 1.0)
+    dist = t_safe * d_len
+    outward = hits.outward_normal
+    out_unit = outward / jnp.maximum(
+        jnp.linalg.norm(outward, axis=-1, keepdims=True), 1e-20)
+
+    # Triangle light: area pdf -> solid angle.
+    cos_l = jnp.abs(jnp.sum(w * out_unit, axis=-1))
+    area = jnp.maximum(hits.prim_area, 0.0)
+    psa_tri = dist * dist / jnp.maximum(cos_l * area, 1e-12)
+
+    # Sphere light: cone solid-angle pdf from the previous vertex.
+    r = jnp.maximum(-hits.prim_area, 0.0)
+    center = hits.point - out_unit * r[:, None]
+    to_c = center - o
+    dist_c = jnp.maximum(jnp.linalg.norm(to_c, axis=-1), 1e-12)
+    sin_max = jnp.clip(r / dist_c, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_max * sin_max))
+    solid = TAU * (1.0 - cos_max)
+    psa_sph = 1.0 / jnp.maximum(solid, 1e-12)
+
+    p_light = jnp.where(hits.prim_area > 0.0, psa_tri,
+                        jnp.where(hits.prim_area < 0.0, psa_sph,
+                                  0.0)) / L
+    return (prev_pdf * prev_pdf
+            / jnp.maximum(prev_pdf * prev_pdf + p_light * p_light,
+                          1e-20))

@@ -181,9 +181,12 @@ def scatter(scene, hits, d_in, sampler):
       sampler: mrt.math.rng.Sampler for this bounce.
 
     Returns:
-      (attenuation (N,3), new_direction (N,3), scattered (N,) bool).
-      Rays whose material absorbs (metal below horizon, lights, null) get
-      scattered=False.
+      (attenuation (N,3), new_direction (N,3), scattered (N,) bool,
+      lobe (N,) int32).  Rays whose material absorbs (metal below
+      horizon, lights, null) get scattered=False.  `lobe` classifies the
+      chosen scatter distribution for NEE/MIS (materials/lights.py):
+      0 = none/specular-like, 1 = cosine (Lambertian and the Lambertian
+      arms of Specular/EVE), 2 = isotropic (volumes).
     """
     materials = scene.materials
     rows = resolve_rows(scene, hits.material, sampler)
@@ -281,7 +284,19 @@ def _scatter_from(scene, rows, mtype, params, hits, d_in, sampler):
     scattered = hits.hit & (
         is_lam | is_diel | is_iso | is_spec | is_eve
         | (is_metal & metal_ok))
-    return atten, new_dir, scattered
+
+    # Scatter-lobe class for NEE/MIS: which rays took a cosine lobe
+    # (NEE-capable) vs a specular-like or isotropic one.  The Specular
+    # and EVE "diffuse" outcomes are exactly the cases where the chosen
+    # direction was lam_dir.
+    if scene.atlas is not None:
+        eve_diffuse = is_eve & (pick_lam | ~reflect_choice)
+    else:
+        eve_diffuse = jnp.zeros_like(is_eve)
+    cosine = is_lam | (is_spec & ~reflect_choice) | eve_diffuse
+    lobe = jnp.where(cosine, 1, jnp.where(is_iso, 2, 0)).astype(jnp.int32)
+    lobe = jnp.where(scattered, lobe, 0)
+    return atten, new_dir, scattered, lobe
 
 
 def shade_hit(scene, hits, d_in, em_sampler, sc_sampler):
@@ -298,12 +313,13 @@ def shade_hit(scene, hits, d_in, em_sampler, sc_sampler):
         mtype = materials.mtype[rows]
         params = materials.params[rows]
         e = _emitted_from(scene, rows, mtype, params[:, 6:9], hits)
-        atten, new_dir, scattered = _scatter_from(
+        atten, new_dir, scattered, lobe = _scatter_from(
             scene, rows, mtype, params, hits, d_in, sc_sampler)
-        return e, atten, new_dir, scattered
+        return e, atten, new_dir, scattered, lobe
     e = emitted(scene, hits, em_sampler)
-    atten, new_dir, scattered = scatter(scene, hits, d_in, sc_sampler)
-    return e, atten, new_dir, scattered
+    atten, new_dir, scattered, lobe = scatter(scene, hits, d_in,
+                                              sc_sampler)
+    return e, atten, new_dir, scattered, lobe
 
 
 def alpha_test(scene, rows, uv, sampler):

@@ -160,9 +160,37 @@ class MaterialBuilder:
                     and r["tex"] != NO_TEXTURE)
         return any(can_fail(i) for i in range(len(self._rows)))
 
+    def _check_mix_depth(self):
+        """Reject Mix nesting deeper than shading can resolve.
+
+        The reference recurses unboundedly (material.rs:402-407); shading
+        here iterates MAX_MIX_DEPTH gathers (shade.resolve_mix), so a
+        deeper chain would silently fail to scatter.  Raise at build time
+        instead — the table is static, so this is a pure host check.
+        """
+        def depth(i, seen):
+            r = self._rows[i]
+            if r["mtype"] != MIX:
+                return 0
+            if i in seen:
+                raise ValueError(
+                    f"Mix material row {i} participates in a cycle")
+            d = 1 + max(depth(r["mix_left"], seen | {i}),
+                        depth(r["mix_right"], seen | {i}))
+            return d
+        for i in range(len(self._rows)):
+            d = depth(i, frozenset())
+            if d > MAX_MIX_DEPTH:
+                raise ValueError(
+                    f"Mix material row {i} nests {d} deep; shading "
+                    f"resolves at most MAX_MIX_DEPTH={MAX_MIX_DEPTH} "
+                    "(raise mrt.materials.table.MAX_MIX_DEPTH or flatten "
+                    "the mix tree)")
+
     def build(self) -> MaterialTable:
         if not self._rows:
             self.null()
+        self._check_mix_depth()
         rows = self._rows
         f32 = np.float32
         return MaterialTable(

@@ -53,7 +53,7 @@ class TestEveSurface:
             pmdg_px=(0.0, 1.0 / 3.0, 0.0, 0.0),
             palette=[(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1)])
         n = 64
-        atten, nd, sc = shade.scatter(
+        atten, nd, sc, _ = shade.scatter(
             scene, _hits(n, row),
             jnp.zeros((n, 3)).at[:, 1].set(-1.0),
             Sampler(0, jnp.arange(n, dtype=jnp.uint32)))
@@ -69,7 +69,7 @@ class TestEveSurface:
             pmdg_px=(1.0, 0.0, 0.0, 0.0),
             palette=[(1, 0, 0)] * 4)
         n = 32
-        atten, _, _ = shade.scatter(
+        atten, _, _, _ = shade.scatter(
             scene, _hits(n, row),
             jnp.zeros((n, 3)).at[:, 1].set(-1.0),
             Sampler(0, jnp.arange(n, dtype=jnp.uint32)))
@@ -98,7 +98,7 @@ class TestEveSurface:
             pmdg_px=(1.0, 0.0, 0.0, 0.0),
             palette=[(1, 1, 1)] * 4)
         n = 1 << 12
-        atten, _, sc = shade.scatter(
+        atten, _, sc, _ = shade.scatter(
             scene, _hits(n, row),
             jnp.zeros((n, 3)).at[:, 1].set(-1.0),
             Sampler(0, jnp.arange(n, dtype=jnp.uint32)))

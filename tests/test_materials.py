@@ -40,7 +40,7 @@ class TestLambertian:
         b = MaterialBuilder()
         m = b.lambertian((0.3, 0.5, 0.7))
         scene = _scene(b)
-        atten, nd, sc = shade.scatter(scene, _hits(n, m),
+        atten, nd, sc, _ = shade.scatter(scene, _hits(n, m),
                                       jnp.broadcast_to(
                                           jnp.asarray([0., -1., 0.]), (n, 3)),
                                       _sampler(n))
@@ -63,7 +63,7 @@ class TestMetal:
         scene = _scene(b)
         d_in = jnp.broadcast_to(
             jnp.asarray([1.0, -1.0, 0.0]) / np.sqrt(2), (n, 3))
-        atten, nd, sc = shade.scatter(scene, _hits(n, m), d_in, _sampler(n))
+        atten, nd, sc, _ = shade.scatter(scene, _hits(n, m), d_in, _sampler(n))
         assert bool(jnp.all(sc))
         expect = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
         np.testing.assert_allclose(np.asarray(nd), [expect] * n, atol=1e-5)
@@ -75,7 +75,7 @@ class TestMetal:
         scene = _scene(b)
         # Grazing incidence so reflected ray is nearly tangent.
         d_in = jnp.broadcast_to(jnp.asarray([1.0, -0.01, 0.0]), (n, 3))
-        atten, nd, sc = shade.scatter(scene, _hits(n, m), d_in, _sampler(n))
+        atten, nd, sc, _ = shade.scatter(scene, _hits(n, m), d_in, _sampler(n))
         sc = np.asarray(sc)
         assert 0.05 < sc.mean() < 0.95  # some absorbed, some not
         d = np.asarray(nd)[sc]
@@ -93,7 +93,7 @@ class TestDielectric:
         d_in = jnp.broadcast_to(
             jnp.asarray([1.0, -0.1, 0.0]), (n, 3))
         hits = _hits(n, m, front_face=False)  # exiting: ratio = ior = 1.5
-        atten, nd, sc = shade.scatter(scene, hits, d_in, _sampler(n))
+        atten, nd, sc, _ = shade.scatter(scene, hits, d_in, _sampler(n))
         assert bool(jnp.all(sc))
         np.testing.assert_allclose(np.asarray(atten), 1.0, atol=1e-6)
         d = np.asarray(nd)
@@ -105,7 +105,7 @@ class TestDielectric:
         m = b.dielectric(1.5)
         scene = _scene(b)
         d_in = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
-        atten, nd, sc = shade.scatter(scene, _hits(n, m), d_in, _sampler(n))
+        atten, nd, sc, _ = shade.scatter(scene, _hits(n, m), d_in, _sampler(n))
         d = np.asarray(nd)
         frac_refracted = (d[:, 1] < 0).mean()
         # Schlick at normal incidence for 1.5: r0 = 0.04.
@@ -121,7 +121,7 @@ class TestEmissive:
         hits = _hits(n, m)
         e = shade.emitted(scene, hits, _sampler(n))
         np.testing.assert_allclose(np.asarray(e), [[2, 3, 4]] * n)
-        _, _, sc = shade.scatter(scene, hits,
+        _, _, sc, _ = shade.scatter(scene, hits,
                                  jnp.zeros((n, 3)).at[:, 1].set(-1.0),
                                  _sampler(n, seed=1))
         assert not bool(jnp.any(sc))
@@ -165,7 +165,7 @@ class TestIsotropic:
         b = MaterialBuilder()
         m = b.isotropic((0.5, 0.5, 0.5))
         scene = _scene(b)
-        atten, nd, sc = shade.scatter(
+        atten, nd, sc, _ = shade.scatter(
             scene, _hits(n, m),
             jnp.broadcast_to(jnp.asarray([0., -1., 0.]), (n, 3)),
             _sampler(n))
@@ -182,7 +182,7 @@ class TestSpecular:
         m = b.specular(1.5, (0.9, 0.1, 0.1))
         scene = _scene(b)
         d_in = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
-        atten, nd, sc = shade.scatter(scene, _hits(n, m), d_in, _sampler(n))
+        atten, nd, sc, _ = shade.scatter(scene, _hits(n, m), d_in, _sampler(n))
         assert bool(jnp.all(sc))
         a = np.asarray(atten)
         is_mirror = np.isclose(a[:, 0], 1.0)

@@ -171,7 +171,7 @@ class TestMaterialTextures:
             material=jnp.full((n,), m, jnp.int32),
             hit=jnp.ones((n,), bool),
             tangent=jnp.zeros((n, 3)), bitangent=jnp.zeros((n, 3)))
-        atten, _, sc = shade.scatter(
+        atten, _, sc, _ = shade.scatter(
             scene, hits,
             jnp.zeros((n, 3)).at[:, 1].set(-1.0),
             Sampler(0, jnp.arange(n, dtype=jnp.uint32)))
