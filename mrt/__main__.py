@@ -50,6 +50,11 @@ def build_parser():
                         "persistent ray-regeneration one")
     p.add_argument("--preview", action="store_true",
                    help="rewrite the output PNG after every pass")
+    p.add_argument("--serve", action="store_true",
+                   help="live progressive viewer (HTTP) with runtime "
+                        "display-mode keys, export, quick-pass")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7860)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--config", default=None,

@@ -53,6 +53,12 @@ class RenderConfig:
     # Russian roulette start depth (None = off, matching the reference);
     # unbiased early termination of low-energy paths.
     rr_depth: Optional[int] = None
+    # Live viewer (the reference's interactive window, main.rs:297-532):
+    # `--serve` starts a local HTTP page with runtime display-mode keys,
+    # PNG export and quick-pass abort.
+    serve: bool = False
+    host: str = "127.0.0.1"
+    port: int = 7860
 
     @property
     def aspect_ratio(self):

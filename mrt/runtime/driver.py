@@ -75,6 +75,9 @@ def run(config: RenderConfig, log=print):
         jax.profiler.start_trace(config.profile_dir)
 
     try:
+        if getattr(config, "serve", False):
+            from .viewer import serve
+            return serve(config, log=log)
         if not config.animate:
             inp = replay.frame(0) if replay else InputCollection()
             scene, camera = sc.generate(0.0, 0, inp)
