@@ -15,14 +15,24 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # B3-spline 5-tap kernel for the a-trous pyramid.
-_KERNEL = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_KERNEL = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def _shift2d(img, dy, dx):
     """Edge-clamped shift of (H,W,C)."""
     return jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+
+
+def _box3(img):
+    """3x3 box blur of (H,W,C) via rolls."""
+    acc = jnp.zeros_like(img)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            acc = acc + _shift2d(img, dy, dx)
+    return acc / 9.0
 
 
 @partial(jax.jit, static_argnames=("iterations",))
@@ -39,6 +49,14 @@ def denoise(rgb, albedo=None, normal=None, iterations=4,
     out = rgb
     for it in range(iterations):
         step = 1 << it
+        # SVGF-style variance-adaptive color weight: normalise the color
+        # distance by a local (3x3) noise estimate, recomputed on the
+        # progressively filtered image.  Without it, a very noisy input
+        # (few spp) drives exp(-dc/sigma^2) to 0 for every neighbour and
+        # the filter degenerates to the identity.
+        mu = _box3(out)
+        var = _box3(jnp.sum((out - mu) ** 2, axis=-1, keepdims=True))
+        color_denom = sigma_color ** 2 + 8.0 * var
         accum = jnp.zeros_like(out)
         weight = jnp.zeros(out.shape[:2] + (1,), out.dtype)
         for ky in range(5):
@@ -49,7 +67,7 @@ def denoise(rgb, albedo=None, normal=None, iterations=4,
                 c = _shift2d(out, dy, dx)
                 w = jnp.full(out.shape[:2] + (1,), k, out.dtype)
                 dc = jnp.sum((c - out) ** 2, axis=-1, keepdims=True)
-                w = w * jnp.exp(-dc / (sigma_color ** 2))
+                w = w * jnp.exp(-dc / color_denom)
                 if albedo is not None:
                     da = jnp.sum((_shift2d(albedo, dy, dx) - albedo) ** 2,
                                  axis=-1, keepdims=True)
