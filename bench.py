@@ -58,16 +58,18 @@ def main():
     scene, camera = get("rtiow")(aspect_ratio=WIDTH / HEIGHT).generate()
 
     film = Film.create(WIDTH, HEIGHT)
-    # Warmup: compile + one sample of the ray-regeneration integrator.
+    # Warmup: compile + run with the SAME statics as the timed pass
+    # (the pool is bucketed by spp, so a 1-spp warmup would compile a
+    # different program and leave the timed one cold).
     film = render_pass_persistent(scene, camera, film, 1, 0, width=WIDTH,
                                   height=HEIGHT, max_depth=MAX_DEPTH,
-                                  samples=1)
+                                  samples=SPP)
     film.sum.block_until_ready()
 
     t0 = time.perf_counter()
-    film = render_pass_persistent(scene, camera, film, 1, 1, width=WIDTH,
-                                  height=HEIGHT, max_depth=MAX_DEPTH,
-                                  samples=SPP)
+    film = render_pass_persistent(scene, camera, film, 1, SPP,
+                                  width=WIDTH, height=HEIGHT,
+                                  max_depth=MAX_DEPTH, samples=SPP)
     film.sum.block_until_ready()
     dt = time.perf_counter() - t0
 

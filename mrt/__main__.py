@@ -45,6 +45,12 @@ def build_parser():
                    help="Russian roulette start bounce (default off)")
     p.add_argument("--nee", action="store_true",
                    help="next-event estimation (direct light sampling)")
+    p.add_argument("--sort-rays", dest="sort_rays", default=None,
+                   action="store_true",
+                   help="force lane coherence sorting (default: auto — "
+                        "on for scenes whose TLAS streams from HBM)")
+    p.add_argument("--no-sort-rays", dest="sort_rays",
+                   action="store_false")
     p.add_argument("--batched", dest="persistent", action="store_false",
                    help="use the batched integrator instead of the "
                         "persistent ray-regeneration one")

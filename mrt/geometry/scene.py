@@ -59,6 +59,41 @@ class Scene:
     # render as opaque).
     ALPHA_ROUNDS = 3
 
+    def world_bounds(self):
+        """(bmin, bmax) of all geometry — the acceleration roots (node
+        0 of each escape-index BVH is the whole tree's box).  Used to
+        quantise ray origins for coherence sorting."""
+        mins, maxs = [], []
+        if self.tlas is not None:
+            mins.append(self.tlas.t_bmin[0])
+            maxs.append(self.tlas.t_bmax[0])
+        if self.bvh is not None:
+            mins.append(self.bvh.bmin[0])
+            maxs.append(self.bvh.bmax[0])
+        if self.sphere_bvh is not None:
+            mins.append(self.sphere_bvh.bmin[0])
+            maxs.append(self.sphere_bvh.bmax[0])
+        elif self.spheres is not None:
+            r = self.spheres.radius[:, None]
+            mins.append(jnp.min(self.spheres.center - r, axis=0))
+            maxs.append(jnp.max(self.spheres.center + r, axis=0))
+        if not mins:
+            return jnp.zeros(3), jnp.ones(3)
+        return (jnp.min(jnp.stack(mins), axis=0),
+                jnp.max(jnp.stack(maxs), axis=0))
+
+    def prefers_sorted_rays(self):
+        """True when per-step lane sorting is worth its cost: packet
+        kernels share one traversal cursor per 1024-ray packet, so on
+        large instanced scenes (streamed TLAS) incoherent packets visit
+        near the union of all subtrees.  Sorting claims that back."""
+        if self.tlas is None:
+            return False
+        from . import spheres as sph_mod
+        from ..ops import budget
+        return (sph_mod._use_pallas()
+                and not budget.fits(budget.tlas_tables_bytes(self.tlas)))
+
     def intersect(self, o, d, t_min=T_MIN, t_max=jnp.inf,
                   sampler=None, shading_aux=True) -> Hits:
         """Closest hit of each ray against every primitive set.

@@ -6,9 +6,26 @@ path length of ~3 most lanes idle ~94% of the iterations.  This module
 is the TPU analogue of persistent-threads path tracing: a fixed pool of
 P lanes consumes a queue of (pixel, sample) work items; the moment a
 path terminates its lane claims the next item and generates that
-sample's camera ray.  Contributions stream into the film with one
-packed scatter-add per bounce, so no per-lane radiance accumulator and
-no path ever waits on another.
+sample's camera ray.
+
+Film accumulation (round-2 redesign): scattering every step into the
+full-frame film dominated the step (~5.2ms of 11.7ms at 1080p — the
+cost is the size of the carried scatter DESTINATION, not the update
+form; see tools/profile_scatter*.py).  Contributions now go into a
+small rolling slot accumulator `dest` (SLOTS pixels, a few MB) indexed
+by pixel % SLOTS; work items are claimed PIXEL-MAJOR so in-flight
+pixels span a narrow moving window, claims are gated to pixels <
+flushed + SLOTS, and once a slab of SLOTS/SLABS pixels is fully
+claimed and passed by every live path it is flushed into the big film
+with one contiguous dynamic-slice add (no scatter) and zeroed for
+reuse.  The accumulator is capped at 2^18 rows (4MB) — the in-graph
+scatter cost cliffs just above that (see SLOTS).  The window must
+out-span the deepest path: claims advance at ~pool/avg_depth
+items/step while a depth-50 straggler pins the flush frontier for 50
+steps, so SLOTS*spp must exceed ~50*pool/avg_depth items — the driver
+shrinks the POOL at low spp to keep this true.  When the whole film
+fits in SLOTS (tests, sharded tiles) the accumulator IS the film
+slice and nothing gates or flushes until the end.
 
 Equivalence: every random draw is the same pure function of
 (seed, pixel, sample, bounce) as the batched integrator, so this
@@ -43,15 +60,92 @@ from .wavefront import MAX_DEPTH, T_MIN
 
 POOL = 1 << 17
 CHUNK_STEPS = 8
+# Rolling film-slot accumulator (pixels): the claim window.  Hard
+# ceiling 2^18 rows: the in-graph scatter cost cliffs between 4.2MB
+# and 4.7MB of destination (tools/profile_film2.py on v5e — 2^18 rows
+# = 8.3ms/step, 288k rows = 12.1ms, same as the full film).  The
+# window must also cover claim_rate * max_path_depth items or the
+# deepest path stalls the flush frontier and starves claims (measured:
+# 3% active) — with SLOTS capped, that constraint is met by shrinking
+# the POOL instead (render.render_pass_persistent).
+SLOTS = 1 << 18
+SLABS = 8          # slabs per window: flush granularity (slots//SLABS)
+FLUSH_STEPS = 8
+
+_BIG = jnp.int32(2 ** 30)
+
+
+def _slots_for(npix, slots):
+    """Static layout: (slots_eff, slab, npix_pad, big_mode)."""
+    slots = min(slots, SLOTS) if slots else SLOTS
+    if npix <= slots:
+        # Small mode: the accumulator IS the (padded) film slice.
+        pad = -npix % 8
+        return npix + pad, npix + pad, npix + pad, False
+    slab = max(slots // SLABS, 8)
+    npix_pad = -(-npix // slab) * slab
+    return slots, slab, npix_pad, True
+
+
+def _morton3(x, y, z):
+    """Interleave three 6-bit uint32 coordinates into an 18-bit Morton
+    code (unrolled shifts: 6 iterations on the whole lane vector)."""
+    out = jnp.zeros_like(x)
+    for b in range(6):
+        out = (out
+               | (((x >> b) & 1) << (3 * b))
+               | (((y >> b) & 1) << (3 * b + 1))
+               | (((z >> b) & 1) << (3 * b + 2)))
+    return out
+
+
+def _make_sorter(scene, total):
+    """Lane permutation by ray-coherence key: Morton cell of the origin
+    (6 bits/axis over the scene bounds) + direction octant.  Packet
+    kernels share one traversal cursor per 1024-lane packet; after a
+    few bounces neighbouring lanes diverge and each packet pays the
+    union of its rays' subtrees.  Sorting lanes every FLUSH_STEPS
+    regroups them so packets stay spatially tight.  Semantically free:
+    every per-lane quantity rides the same permutation, the RNG is
+    keyed on (ray_id, bounce), and film scatters index by work item.
+    Idle lanes sort to the end, so regenerated rays (consecutive work
+    items = neighbouring pixels) come up coherent too."""
+    bmin, bmax = scene.world_bounds()
+    inv_ext = 63.0 / jnp.maximum(bmax - bmin, 1e-6)
+
+    def sort_lanes(state):
+        (item, bounce, o, d, throughput, ray_id, next_work,
+         dest, flushed_q, prev_pdf) = state
+        active = item < total
+        octant = ((d[:, 0] < 0).astype(jnp.uint32)
+                  | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+                  | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+        cell = jnp.clip((o - bmin) * inv_ext, 0.0, 63.0).astype(jnp.uint32)
+        key = (_morton3(cell[:, 0], cell[:, 1], cell[:, 2]) << 3) | octant
+        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(key)
+        g = lambda a: jnp.take(a, perm, axis=0)
+        return (g(item), g(bounce), g(o), g(d), g(throughput), g(ray_id),
+                next_work, dest, flushed_q, g(prev_pdf))
+
+    return sort_lanes
 
 
 def _build(scene, camera, width, height, seed, sample_start, samples,
            max_depth, pool, pixel_offset, n_pixels, sample_stride,
-           rr_depth):
-    """Returns (total, make_rays, step) for the persistent wavefront."""
+           rr_depth, slots=None):
+    """Returns (total, make_rays, step, layout) for the wavefront.
+
+    Work items are PIXEL-MAJOR: item -> (pixel = item // samples,
+    sample = item % samples), so claims sweep the frame front-to-back
+    and in-flight pixels stay within a rolling window (the slot
+    accumulator's reuse-safety precondition).
+    """
     npix = n_pixels if n_pixels is not None else width * height
     total = npix * samples  # `samples` may be traced: total only feeds
     # comparisons/arithmetic, never shapes — one compile serves any spp.
+    layout = _slots_for(npix, slots)
+    slots_eff, slab, npix_pad, big_mode = layout
 
     inv_w = 1.0 / jnp.float32(width)
     inv_h = 1.0 / jnp.float32(height)
@@ -59,11 +153,11 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
     def make_rays(item):
         """Camera rays for work items, with the exact RNG stream of
         wavefront.render_sample."""
-        pixel = (jnp.uint32(pixel_offset)
-                 + (item % npix).astype(jnp.uint32))
+        q = item // samples
+        s_idx = item - q * samples
+        pixel = jnp.uint32(pixel_offset) + q.astype(jnp.uint32)
         sample = (jnp.uint32(sample_start)
-                  + (item // npix).astype(jnp.uint32)
-                  * jnp.uint32(sample_stride))
+                  + s_idx.astype(jnp.uint32) * jnp.uint32(sample_stride))
         px = (pixel % jnp.uint32(width)).astype(jnp.float32)
         py = (pixel // jnp.uint32(width)).astype(jnp.float32)
         cam = Sampler(seed, pixel + jnp.uint32(0x9E3779B9) * sample,
@@ -77,9 +171,9 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
     def step(state):
         (item, bounce, o, d, throughput, ray_id, next_work,
-         packed, prev_pdf) = state
+         dest, flushed_q, prev_pdf) = state
         active = item < total
-        pixel = jnp.clip(item, 0, total - 1) % npix  # local index
+        q = jnp.clip(item, 0, total - 1) // samples  # local pixel index
 
         b = bounce
         vol_sampler = Sampler(seed, ray_id, salt=3 * b + 2)
@@ -142,20 +236,29 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
             atten = jnp.where(apply_rr[:, None],
                               atten / p_survive[:, None], atten)
 
-        # Single packed scatter: radiance (3) + depth count (1).
-        packed = packed.at[pixel].add(jnp.concatenate(
+        # Single packed scatter: radiance (3) + depth count (1) — into
+        # the SMALL slot accumulator, never the full film (the in-loop
+        # scatter cost scales with the carried destination size).
+        slot = q & jnp.int32(slots_eff - 1) if big_mode else q
+        dest = dest.at[slot].add(jnp.concatenate(
             [radiance_add, scat.astype(jnp.float32)[:, None]], axis=-1))
 
-        # Regenerate dead lanes from the queue.
+        # Regenerate dead lanes from the queue, gated so no claimed
+        # pixel runs SLOTS ahead of the flush frontier (slot-reuse
+        # safety; a gated lane idles and re-claims next step).
         dead = active & ~cont
         idle = ~active
         claim = dead | idle
         offsets = jnp.cumsum(claim.astype(jnp.int32)) - 1
         new_item = next_work + offsets
-        takes = claim & (new_item < total)
-        next_work = next_work + jnp.sum(claim.astype(jnp.int32))
-        # next_work beyond total is harmless: later claims won't take.
-        next_work = jnp.minimum(next_work, jnp.int32(2 ** 30))
+        if big_mode:
+            limit = jnp.minimum(total, (flushed_q + slots_eff) * samples)
+        else:
+            limit = total
+        takes = claim & (new_item < limit)
+        # takes is a prefix of claims (offsets increase), so advancing
+        # by its count skips no items.
+        next_work = next_work + jnp.sum(takes.astype(jnp.int32))
 
         item = jnp.where(cont, item,
                          jnp.where(takes, new_item, total))
@@ -174,35 +277,87 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         prev_pdf = jnp.where(cont, next_pdf, 0.0)
 
         return (item, bounce, o, d, throughput, ray_id, next_work,
-                packed, prev_pdf)
+                dest, flushed_q, prev_pdf)
 
-    return total, make_rays, step
+    def maybe_flush(state, film):
+        """Flush the next slab [flushed_q, flushed_q+slab) of `dest`
+        into `film` when it is fully claimed (or the queue is done) and
+        every live path has moved past it.  One contiguous
+        dynamic-slice add — no scatter touches the big film."""
+        if not big_mode:
+            return state, film
+        (item, bounce, o, d, throughput, ray_id, next_work,
+         dest, flushed_q, prev_pdf) = state
+        active = item < total
+        q = jnp.clip(item, 0, total - 1) // samples
+        min_live = jnp.min(jnp.where(active, q, _BIG))
+        claimed_q = next_work // samples
+        ready = (claimed_q >= flushed_q + slab) | (next_work >= total)
+        clear = min_live >= flushed_q + slab
+        can = ready & clear & (flushed_q < jnp.int32(npix))
+
+        def do(args):
+            film, dest = args
+            s_idx = flushed_q & jnp.int32(slots_eff - 1)
+            chunk = jax.lax.dynamic_slice(dest, (s_idx, 0), (slab, 4))
+            cur = jax.lax.dynamic_slice(film, (flushed_q, 0), (slab, 4))
+            film = jax.lax.dynamic_update_slice(film, cur + chunk,
+                                                (flushed_q, 0))
+            dest = jax.lax.dynamic_update_slice(
+                dest, jnp.zeros((slab, 4), jnp.float32), (s_idx, 0))
+            return film, dest
+
+        film, dest = jax.lax.cond(can, do, lambda a: a, (film, dest))
+        flushed_q = jnp.where(can, flushed_q + slab, flushed_q)
+        return (item, bounce, o, d, throughput, ray_id, next_work,
+                dest, flushed_q, prev_pdf), film
+
+    def finalize(state, film):
+        """Drain every remaining slab (the unflushed window is at most
+        SLABS slabs wide, +1 for a partial tail)."""
+        if not big_mode:
+            return film + state[7]
+        for _ in range(slots_eff // slab + 2):
+            state, film = maybe_flush(state, film)
+        return film
+
+    return total, make_rays, step, maybe_flush, finalize, layout
 
 
-def _init_state(make_rays, pool, film_sum, depth_sum, vzero_f, vzero_i):
-    # Radiance + depth pack into one (npix, 4) accumulator so each step
-    # issues ONE scatter-add.  Depth counts stay exact in f32 (bounded
-    # by spp * max_depth << 2^24).
-    packed = jnp.concatenate(
-        [film_sum, depth_sum.astype(jnp.float32)[:, None]],
-        axis=-1) + vzero_f
-    init_item = jnp.arange(pool, dtype=jnp.int32) + vzero_i
-    o0, d0, rid0 = make_rays(init_item)
+def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit):
+    """Initial claims honor the same slot-window gate as in-loop claims
+    (`init_limit` = slots_eff*samples in big mode): lanes past the gate
+    start idle and claim once flushing opens the window."""
+    lane = jnp.arange(pool, dtype=jnp.int32) + vzero_i
+    take = lane < init_limit
+    init_item = jnp.where(take, lane, _BIG)
+    o0, d0, rid0 = make_rays(jnp.where(take, lane, 0))
     return (
         init_item,                                   # work item
         jnp.zeros((pool,), jnp.int32) + vzero_i,     # bounce
         o0, d0,
         jnp.ones_like(o0),                           # throughput
         rid0,
-        jnp.int32(pool) + vzero_i,                   # next_work
-        packed,
+        jnp.minimum(jnp.int32(pool),                 # next_work
+                    init_limit) + vzero_i,
+        dest + vzero_f,                              # slot accumulator
+        jnp.int32(0) + vzero_i,                      # flushed_q
         jnp.zeros((pool,), jnp.float32) + vzero_f,   # prev_pdf (MIS)
     )
 
 
-def _unpack(state):
-    packed = state[7]
-    return packed[:, :3], jnp.round(packed[:, 3]).astype(jnp.int32)
+def _pack_film(film_sum, depth_sum, npix_pad):
+    packed = jnp.concatenate(
+        [film_sum, depth_sum.astype(jnp.float32)[:, None]], axis=-1)
+    pad = npix_pad - packed.shape[0]
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+    return packed
+
+
+def _unpack_film(film, npix):
+    film = film[:npix]
+    return film[:, :3], jnp.round(film[:, 3]).astype(jnp.int32)
 
 
 def render_samples_persistent(scene, camera, width, height, seed,
@@ -210,7 +365,8 @@ def render_samples_persistent(scene, camera, width, height, seed,
                               max_depth=MAX_DEPTH, pool=POOL,
                               film_sum=None, depth_sum=None,
                               pixel_offset=0, n_pixels=None,
-                              sample_stride=1, rr_depth=None):
+                              sample_stride=1, rr_depth=None,
+                              slots=None, sort_rays=False):
     """Single device-side while_loop (for use inside jit/shard_map).
 
     Returns (film_sum (n_pixels,3), depth_sum (n_pixels,)) — pass them
@@ -228,51 +384,111 @@ def render_samples_persistent(scene, camera, width, height, seed,
                + jnp.asarray(sample_start, jnp.float32) * 0.0)
     vzero_i = vzero_f.astype(jnp.int32)
 
-    total, make_rays, step = _build(
+    total, make_rays, step, maybe_flush, finalize, layout = _build(
         scene, camera, width, height, seed, sample_start, samples,
-        max_depth, pool, pixel_offset, n_pixels, sample_stride, rr_depth)
-    state = _init_state(make_rays, pool, film_sum, depth_sum, vzero_f,
-                        vzero_i)
+        max_depth, pool, pixel_offset, n_pixels, sample_stride, rr_depth,
+        slots)
+    slots_eff, slab, npix_pad, big_mode = layout
 
-    def cond(state):
-        return jnp.any(state[0] < total)
-
-    state = jax.lax.while_loop(cond, step, state)
-    return _unpack(state)
-
-
-@partial(jax.jit, static_argnames=("width", "height", "max_depth",
-                                   "pool", "rr_depth"))
-def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
-                samples, *, width, height, max_depth, pool, rr_depth):
-    total, make_rays, _ = _build(
-        scene, camera, width, height, seed, sample_start, samples,
-        max_depth, pool, 0, None, 1, rr_depth)
-    zero = jnp.float32(0.0)
-    return _init_state(make_rays, pool, film_sum, depth_sum, zero,
-                       jnp.int32(0))
-
-
-@partial(jax.jit, static_argnames=("width", "height", "max_depth",
-                                   "pool", "rr_depth"))
-def _chunk_run(scene, camera, state, seed, sample_start, samples,
-               chunk_steps, *, width, height, max_depth, pool, rr_depth):
-    # chunk_steps is TRACED: the adaptive driver changes it per chunk
-    # without recompiling (remote compiles cost minutes here).
-    total, _, step = _build(
-        scene, camera, width, height, seed, sample_start, samples,
-        max_depth, pool, 0, None, 1, rr_depth)
+    film = _pack_film(film_sum, depth_sum, npix_pad) + vzero_f
+    if big_mode:
+        dest = jnp.zeros((slots_eff, 4), jnp.float32)
+        work_film = film
+        init_limit = jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
+    else:
+        dest = jnp.zeros((npix_pad, 4), jnp.float32)
+        work_film = film  # untouched until the final add
+        init_limit = _BIG
+    state = _init_state(make_rays, pool, dest, vzero_f, vzero_i,
+                        init_limit)
 
     def cond(carry):
-        i, st = carry
-        return (i < chunk_steps) & jnp.any(st[0] < total)
+        state, film = carry
+        return jnp.any(state[0] < total) | (state[6] < total)
+
+    sorter = _make_sorter(scene, total) if sort_rays else None
 
     def body(carry):
-        i, st = carry
-        return i + 1, step(st)
+        state, film = carry
+        state = jax.lax.fori_loop(
+            0, FLUSH_STEPS, lambda i, s: step(s), state)
+        state, film = maybe_flush(state, film)
+        state, film = maybe_flush(state, film)
+        if sorter is not None:
+            state = sorter(state)
+        return state, film
 
-    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-    return state, jnp.any(state[0] < total)
+    state, film = jax.lax.while_loop(cond, body, (state, work_film))
+    film = finalize(state, film)
+    return _unpack_film(film, npix)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "pool", "rr_depth", "slots",
+                                   "sort_rays"))
+def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
+                samples, *, width, height, max_depth, pool, rr_depth,
+                slots=None, sort_rays=False):
+    total, make_rays, step, maybe_flush, finalize, layout = _build(
+        scene, camera, width, height, seed, sample_start, samples,
+        max_depth, pool, 0, None, 1, rr_depth, slots)
+    slots_eff, slab, npix_pad, big_mode = layout
+    zero = jnp.float32(0.0)
+    dest = jnp.zeros((slots_eff if big_mode else npix_pad, 4),
+                     jnp.float32)
+    film = _pack_film(film_sum, depth_sum, npix_pad)
+    init_limit = (jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
+                  if big_mode else _BIG)
+    return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
+                        init_limit), film)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "pool", "rr_depth", "slots",
+                                   "sort_rays"))
+def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
+               chunk_steps, *, width, height, max_depth, pool, rr_depth,
+               slots=None, sort_rays=False):
+    # chunk_steps is TRACED: the adaptive driver changes it per chunk
+    # without recompiling (remote compiles cost minutes here).
+    total, _, step, maybe_flush, finalize, layout = _build(
+        scene, camera, width, height, seed, sample_start, samples,
+        max_depth, pool, 0, None, 1, rr_depth, slots)
+    sorter = _make_sorter(scene, total) if sort_rays else None
+
+    def cond(carry):
+        i, st, film = carry
+        return ((i < chunk_steps)
+                & (jnp.any(st[0] < total) | (st[6] < total)))
+
+    def body(carry):
+        i, st, film = carry
+        st = jax.lax.fori_loop(
+            0, FLUSH_STEPS, lambda k, s: step(s), st)
+        st, film = maybe_flush(st, film)
+        st, film = maybe_flush(st, film)
+        if sorter is not None:
+            st = sorter(st)
+        return i + FLUSH_STEPS, st, film
+
+    _, state, film = jax.lax.while_loop(cond, body,
+                                        (jnp.int32(0), state, film))
+    more = jnp.any(state[0] < total) | (state[6] < total)
+    return state, film, more
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "pool", "rr_depth", "slots",
+                                   "sort_rays"))
+def _chunk_finalize(scene, camera, state, film, seed, sample_start,
+                    samples, *, width, height, max_depth, pool,
+                    rr_depth, slots=None, sort_rays=False):
+    total, _, _, _, finalize, layout = _build(
+        scene, camera, width, height, seed, sample_start, samples,
+        max_depth, pool, 0, None, 1, rr_depth, slots)
+    npix = width * height
+    film = finalize(state, film)
+    return _unpack_film(film, npix)
 
 
 # Adaptive chunking: target seconds of device time per dispatch — long
@@ -285,7 +501,8 @@ CHUNK_MAX_STEPS = 4096
 def render_samples_chunked(scene, camera, width, height, seed,
                            sample_start, samples, max_depth=MAX_DEPTH,
                            pool=POOL, film_sum=None, depth_sum=None,
-                           rr_depth=None, chunk_steps=CHUNK_STEPS):
+                           rr_depth=None, chunk_steps=CHUNK_STEPS,
+                           slots=None, sort_rays=False):
     """Python-driven chunked dispatches (single-chip fast path).
 
     Identical results to `render_samples_persistent`; each dispatch is
@@ -301,15 +518,16 @@ def render_samples_chunked(scene, camera, width, height, seed,
         depth_sum = jnp.zeros((npix,), jnp.int32)
 
     statics = dict(width=width, height=height, max_depth=max_depth,
-                   pool=pool, rr_depth=rr_depth)
-    state = _chunk_init(scene, camera, film_sum, depth_sum, seed,
-                        sample_start, samples, **statics)
-    steps = chunk_steps
+                   pool=pool, rr_depth=rr_depth, slots=slots,
+                   sort_rays=sort_rays)
+    state, film = _chunk_init(scene, camera, film_sum, depth_sum, seed,
+                              sample_start, samples, **statics)
+    steps = max(chunk_steps, FLUSH_STEPS)
     while True:
         t0 = time.perf_counter()
-        state, more = _chunk_run(scene, camera, state, seed,
-                                 sample_start, samples,
-                                 jnp.int32(steps), **statics)
+        state, film, more = _chunk_run(scene, camera, state, film, seed,
+                                       sample_start, samples,
+                                       jnp.int32(steps), **statics)
         more = bool(more)  # device sync: chunk has finished
         dt = time.perf_counter() - t0
         if not more:
@@ -317,4 +535,5 @@ def render_samples_chunked(scene, camera, width, height, seed,
         per_step = max(dt / steps, 1e-4)
         steps = int(min(max(CHUNK_TARGET_SECONDS / per_step, CHUNK_STEPS),
                         CHUNK_MAX_STEPS))
-    return _unpack(state)
+    return _chunk_finalize(scene, camera, state, film, seed,
+                           sample_start, samples, **statics)

@@ -310,8 +310,11 @@ def shade_hit(scene, hits, d_in, em_sampler, sc_sampler):
         em_sampler.skip(T.MAX_MIX_DEPTH)
         sc_sampler.skip(T.MAX_MIX_DEPTH)
         rows = hits.material
-        mtype = materials.mtype[rows]
-        params = materials.params[rows]
+        # Bit-exact one-hot MXU lookup: the serial-loop gathers XLA
+        # emits here cost ~1.35ms/step at 2^17 lanes (profile_shade.py).
+        from ..ops.rowlookup import take_rows_with_int
+        params, mtype = take_rows_with_int(materials.params,
+                                           materials.mtype, rows)
         e = _emitted_from(scene, rows, mtype, params[:, 6:9], hits)
         atten, new_dir, scattered, lobe = _scatter_from(
             scene, rows, mtype, params, hits, d_in, sc_sampler)

@@ -54,7 +54,8 @@ def render_frame(scene, camera, config: RenderConfig, film=None,
                   max_depth=config.max_depth,
                   samples_per_pass=config.samples_per_pass,
                   with_aov=needs_aov, film=film, progress=progress,
-                  persistent=config.persistent, rr_depth=config.rr_depth)
+                  persistent=config.persistent, rr_depth=config.rr_depth,
+                  sort_rays=config.sort_rays)
 
 
 def export(film: Film, path, config: RenderConfig):

@@ -48,7 +48,7 @@ def aov_pass(scene, camera, *, width, height, seed=0):
 def render(scene, camera, width, height, spp=64, seed=1,
            max_depth=wavefront.MAX_DEPTH, samples_per_pass=None,
            with_aov=False, film=None, progress=None, persistent=False,
-           rr_depth=None):
+           rr_depth=None, sort_rays=None):
     """Progressive render to `spp` total samples.
 
     Args:
@@ -68,13 +68,14 @@ def render(scene, camera, width, height, spp=64, seed=1,
         film = film.with_aov(albedo, normal)
 
     pass_fn = render_pass_persistent if persistent else render_pass
+    extra = {"sort_rays": sort_rays} if persistent else {}
     chunk = samples_per_pass or spp
     done = int(film.samples)
     while done < spp:
         step = min(chunk, spp - done)
         film = pass_fn(scene, camera, film, seed, done,
                        width=width, height=height, max_depth=max_depth,
-                       samples=step, rr_depth=rr_depth)
+                       samples=step, rr_depth=rr_depth, **extra)
         done += step
         if progress is not None:
             progress(film)
@@ -84,19 +85,41 @@ def render(scene, camera, width, height, spp=64, seed=1,
 def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
                            *, width, height,
                            max_depth=wavefront.MAX_DEPTH, samples=1,
-                           pool=None, rr_depth=None):
+                           pool=None, rr_depth=None, sort_rays=None):
     """Ray-regeneration render pass (integrator.persistent): ~100% lane
     utilisation regardless of depth — the fast path for deep bounces.
 
     Dispatches are chunked from the host so a slow-traversal scene can
     never exceed the accelerator's execution watchdog."""
-    from ..integrator.persistent import render_samples_chunked, POOL
+    from ..integrator.persistent import (render_samples_chunked, POOL,
+                                         SLOTS, FLUSH_STEPS)
+
+    if pool is None:
+        pool = POOL
+        # Big-frame claim-window safety: the rolling slot window holds
+        # SLOTS*samples items; claims advance ~pool/avg_depth items per
+        # step and a straggler pins the flush frontier for up to
+        # max_depth + flush-lag steps.  Cap the pool so the window
+        # out-spans the deepest path (~2x margin at avg_depth ~2.5;
+        # probed on v5e: pool 2^17 at a 2M-item window starves to 3%
+        # active, the capped pool holds ~100%).
+        if width * height > SLOTS:
+            cap = int(SLOTS * samples * 2.0
+                      / (max_depth + FLUSH_STEPS))
+            pool = max(8192, min(pool, cap // 8192 * 8192))
+
+    if sort_rays is None:
+        # Auto: coherence sorting pays for itself exactly where packet
+        # traversal diverges — large instanced scenes whose TLAS
+        # streams from HBM (Menger-class).
+        sort_rays = scene.prefers_sorted_rays()
 
     film_sum, depth_sum = render_samples_chunked(
         scene, camera, width, height, seed, sample_start, samples,
-        max_depth=max_depth, pool=pool or POOL,
+        max_depth=max_depth, pool=pool,
         film_sum=film.sum.reshape(-1, 3),
-        depth_sum=film.depth_sum.reshape(-1), rr_depth=rr_depth)
+        depth_sum=film.depth_sum.reshape(-1), rr_depth=rr_depth,
+        sort_rays=bool(sort_rays))
     return film.replace(
         sum=film_sum.reshape(height, width, 3),
         depth_sum=depth_sum.reshape(height, width),

@@ -82,6 +82,101 @@ def test_progressive_accumulation():
     assert int(film.samples) == 4
 
 
+@pytest.mark.parametrize("pool", [256, 4096])
+def test_big_mode_slot_accumulator(pool):
+    """Force big mode (npix > slots): rolling slot accumulator, gated
+    claims, slab flushes.  pool=4096 exceeds the initial gate window
+    (slots*spp = 512), exercising gated init claims too."""
+    from mrt.integrator.persistent import render_samples_chunked
+
+    scene, camera = _scene(), _camera()
+    w = h = 24
+    spp = 4
+    seed = 11
+
+    batch = Film.create(w, h)
+    batch = render_pass(scene, camera, batch, seed, 0, width=w, height=h,
+                        max_depth=8, samples=spp)
+
+    fs, ds = render_samples_chunked(
+        scene, camera, w, h, seed, 0, jnp.uint32(spp), max_depth=8,
+        pool=pool, slots=128)
+    np.testing.assert_allclose(
+        np.asarray(fs), np.asarray(batch.sum).reshape(-1, 3),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ds), np.asarray(batch.depth_sum).ravel())
+
+
+def test_big_mode_while_loop_driver():
+    """Same forced big mode through the single while_loop driver."""
+    from mrt.integrator.persistent import render_samples_persistent
+    import jax
+
+    scene, camera = _scene(), _camera()
+    w = h = 16
+    spp = 2
+
+    batch = Film.create(w, h)
+    batch = render_pass(scene, camera, batch, 5, 0, width=w, height=h,
+                        max_depth=6, samples=spp)
+
+    fs, ds = jax.jit(lambda: render_samples_persistent(
+        scene, camera, w, h, 5, 0, jnp.uint32(spp), max_depth=6,
+        pool=512, slots=64))()
+    np.testing.assert_allclose(
+        np.asarray(fs), np.asarray(batch.sum).reshape(-1, 3),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ds), np.asarray(batch.depth_sum).ravel())
+
+
+def test_sorted_lanes_match():
+    """Coherence sorting permutes lanes only — the estimator and every
+    RNG draw are untouched (keyed on ray_id/bounce, not lane)."""
+    from mrt.integrator.persistent import render_samples_chunked
+
+    scene, camera = _scene(), _camera()
+    w = h = 24
+    spp = 4
+
+    batch = Film.create(w, h)
+    batch = render_pass(scene, camera, batch, 9, 0, width=w, height=h,
+                        max_depth=8, samples=spp)
+
+    fs, ds = render_samples_chunked(
+        scene, camera, w, h, 9, 0, jnp.uint32(spp), max_depth=8,
+        pool=512, sort_rays=True)
+    np.testing.assert_allclose(
+        np.asarray(fs), np.asarray(batch.sum).reshape(-1, 3),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ds), np.asarray(batch.depth_sum).ravel())
+
+
+def test_sorted_lanes_big_mode():
+    """Sorting composes with the rolling slot accumulator (gating uses
+    min-over-lanes, which is permutation-invariant)."""
+    from mrt.integrator.persistent import render_samples_chunked
+
+    scene, camera = _scene(), _camera()
+    w = h = 24
+    spp = 4
+
+    batch = Film.create(w, h)
+    batch = render_pass(scene, camera, batch, 13, 0, width=w, height=h,
+                        max_depth=8, samples=spp)
+
+    fs, ds = render_samples_chunked(
+        scene, camera, w, h, 13, 0, jnp.uint32(spp), max_depth=8,
+        pool=512, slots=128, sort_rays=True)
+    np.testing.assert_allclose(
+        np.asarray(fs), np.asarray(batch.sum).reshape(-1, 3),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(ds), np.asarray(batch.depth_sum).ravel())
+
+
 def test_tiny_pool_still_complete():
     # A pool far smaller than the work queue must still consume it all.
     scene, camera = _scene(), _camera()
