@@ -101,15 +101,19 @@ def _morton3(x, y, z):
 
 def _make_sorter(scene, total):
     """Lane permutation by ray-coherence key: Morton cell of the origin
-    (6 bits/axis over the scene bounds) + direction octant.  Packet
-    kernels share one traversal cursor per 1024-lane packet; after a
-    few bounces neighbouring lanes diverge and each packet pays the
-    union of its rays' subtrees.  Sorting lanes every FLUSH_STEPS
-    regroups them so packets stay spatially tight.  Semantically free:
-    every per-lane quantity rides the same permutation, the RNG is
-    keyed on (ray_id, bounce), and film scatters index by work item.
-    Idle lanes sort to the end, so regenerated rays (consecutive work
-    items = neighbouring pixels) come up coherent too."""
+    (6 bits/axis over the scene bounds, high bits) + Morton cell of the
+    direction (4 bits/axis, low bits).  Packet kernels share one
+    traversal cursor per 1024-lane packet; after a few bounces
+    neighbouring lanes diverge and each packet pays the union of its
+    rays' subtrees.  Sorting lanes every FLUSH_STEPS regroups them so
+    packets stay spatially tight.  The direction bits matter most for
+    freshly regenerated camera rays: a pinhole camera puts EVERY
+    primary ray in the same origin cell, so without them bounce-0
+    packets stay in scanline order — measured 64% slower than
+    direction-tiled packets on Menger L5 (tools/probe_menger_block.py).
+    Semantically free: every per-lane quantity rides the same
+    permutation, the RNG is keyed on (ray_id, bounce), and film
+    scatters index by work item.  Idle lanes sort to the end."""
     bmin, bmax = scene.world_bounds()
     inv_ext = 63.0 / jnp.maximum(bmax - bmin, 1e-6)
 
@@ -117,11 +121,14 @@ def _make_sorter(scene, total):
         (item, bounce, o, d, throughput, ray_id, next_work,
          dest, flushed_q, prev_pdf) = state
         active = item < total
-        octant = ((d[:, 0] < 0).astype(jnp.uint32)
-                  | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
-                  | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+        # Direction cell: 4 bits/axis on the (unnormalised-safe)
+        # component signs+magnitudes; interleaved -> 12 bits.
+        dn = d * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(d * d, axis=-1, keepdims=True), 1e-20))
+        dcell = jnp.clip((dn + 1.0) * 8.0, 0.0, 15.0).astype(jnp.uint32)
+        dkey = _morton3(dcell[:, 0], dcell[:, 1], dcell[:, 2])
         cell = jnp.clip((o - bmin) * inv_ext, 0.0, 63.0).astype(jnp.uint32)
-        key = (_morton3(cell[:, 0], cell[:, 1], cell[:, 2]) << 3) | octant
+        key = (_morton3(cell[:, 0], cell[:, 1], cell[:, 2]) << 12) | dkey
         key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
         perm = jnp.argsort(key)
         g = lambda a: jnp.take(a, perm, axis=0)
@@ -129,6 +136,30 @@ def _make_sorter(scene, total):
                 next_work, dest, flushed_q, g(prev_pdf))
 
     return sort_lanes
+
+
+
+def _flush_block(step, sorter, cadence):
+    """One FLUSH_STEPS block of wavefront steps with lane sorting every
+    `cadence` steps.  Cadence matters: ~1/3 of lanes die and re-claim
+    EVERY step, landing at scattered lane positions, so a sort only
+    every FLUSH_STEPS leaves most packets scrambled most of the time —
+    measured on Menger L5: per-8 sorting gives 0% over unsorted while
+    coherently-ordered rays are 64% faster in the bare kernel
+    (tools/probe_menger_{sort,block}.py)."""
+    if sorter is None:
+        return lambda st: jax.lax.fori_loop(
+            0, FLUSH_STEPS, lambda i, s: step(s), st)
+    cadence = max(1, min(int(cadence), FLUSH_STEPS))
+    n_blk = FLUSH_STEPS // cadence
+
+    def blk(st):
+        def one(i, s):
+            s = jax.lax.fori_loop(0, cadence, lambda k, x: step(x), s)
+            return sorter(s)
+        return jax.lax.fori_loop(0, n_blk, one, st)
+
+    return blk
 
 
 def _build(scene, camera, width, height, seed, sample_start, samples,
@@ -149,6 +180,18 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
     inv_w = 1.0 / jnp.float32(width)
     inv_h = 1.0 / jnp.float32(height)
+
+    # Idle lanes are parked on a NEUTRAL ray that starts past the scene
+    # on every axis and points away, so the acceleration root's slab
+    # test rejects it immediately.  Without this, a lane that dies with
+    # no work left keeps re-traversing its stale ray every step; on
+    # Menger L5 (depth 8, pool >= queue) ~70% of all traversal was
+    # stale — and since packet kernels pay the union of their lanes'
+    # subtrees, stale packets drowned any gain from coherence sorting.
+    # Semantically free: every film contribution is `active`-gated.
+    _bmin, _bmax = scene.world_bounds()
+    neutral_o = _bmax + jnp.maximum(_bmax - _bmin, 1.0)
+    neutral_d = jnp.full((3,), 0.57735027, jnp.float32)
 
     def make_rays(item):
         """Camera rays for work items, with the exact RNG stream of
@@ -265,9 +308,9 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         no, nd, nrid = make_rays(jnp.where(takes, new_item, 0))
 
         o = jnp.where(cont[:, None], hits.point,
-                      jnp.where(takes[:, None], no, o))
+                      jnp.where(takes[:, None], no, neutral_o))
         d = jnp.where(cont[:, None], new_dir,
-                      jnp.where(takes[:, None], nd, d))
+                      jnp.where(takes[:, None], nd, neutral_d))
         throughput = jnp.where(
             cont[:, None], throughput * atten,
             jnp.where(takes[:, None], jnp.ones_like(throughput),
@@ -321,10 +364,12 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
             state, film = maybe_flush(state, film)
         return film
 
-    return total, make_rays, step, maybe_flush, finalize, layout
+    return (total, make_rays, step, maybe_flush, finalize, layout,
+            (neutral_o, neutral_d))
 
 
-def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit):
+def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit,
+                neutral=None):
     """Initial claims honor the same slot-window gate as in-loop claims
     (`init_limit` = slots_eff*samples in big mode): lanes past the gate
     start idle and claim once flushing opens the window."""
@@ -332,6 +377,9 @@ def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit):
     take = lane < init_limit
     init_item = jnp.where(take, lane, _BIG)
     o0, d0, rid0 = make_rays(jnp.where(take, lane, 0))
+    if neutral is not None:
+        o0 = jnp.where(take[:, None], o0, neutral[0])
+        d0 = jnp.where(take[:, None], d0, neutral[1])
     return (
         init_item,                                   # work item
         jnp.zeros((pool,), jnp.int32) + vzero_i,     # bounce
@@ -384,7 +432,8 @@ def render_samples_persistent(scene, camera, width, height, seed,
                + jnp.asarray(sample_start, jnp.float32) * 0.0)
     vzero_i = vzero_f.astype(jnp.int32)
 
-    total, make_rays, step, maybe_flush, finalize, layout = _build(
+    (total, make_rays, step, maybe_flush, finalize, layout,
+     neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, pixel_offset, n_pixels, sample_stride, rr_depth,
         slots)
@@ -400,22 +449,20 @@ def render_samples_persistent(scene, camera, width, height, seed,
         work_film = film  # untouched until the final add
         init_limit = _BIG
     state = _init_state(make_rays, pool, dest, vzero_f, vzero_i,
-                        init_limit)
+                        init_limit, neutral)
 
     def cond(carry):
         state, film = carry
         return jnp.any(state[0] < total) | (state[6] < total)
 
     sorter = _make_sorter(scene, total) if sort_rays else None
+    run_block = _flush_block(step, sorter, int(sort_rays) or FLUSH_STEPS)
 
     def body(carry):
         state, film = carry
-        state = jax.lax.fori_loop(
-            0, FLUSH_STEPS, lambda i, s: step(s), state)
+        state = run_block(state)
         state, film = maybe_flush(state, film)
         state, film = maybe_flush(state, film)
-        if sorter is not None:
-            state = sorter(state)
         return state, film
 
     state, film = jax.lax.while_loop(cond, body, (state, work_film))
@@ -429,7 +476,8 @@ def render_samples_persistent(scene, camera, width, height, seed,
 def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
                 samples, *, width, height, max_depth, pool, rr_depth,
                 slots=None, sort_rays=False):
-    total, make_rays, step, maybe_flush, finalize, layout = _build(
+    (total, make_rays, step, maybe_flush, finalize, layout,
+     neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots)
     slots_eff, slab, npix_pad, big_mode = layout
@@ -440,7 +488,7 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
     init_limit = (jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
                   if big_mode else _BIG)
     return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
-                        init_limit), film)
+                        init_limit, neutral), film)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
@@ -451,10 +499,11 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
                slots=None, sort_rays=False):
     # chunk_steps is TRACED: the adaptive driver changes it per chunk
     # without recompiling (remote compiles cost minutes here).
-    total, _, step, maybe_flush, finalize, layout = _build(
+    total, _, step, maybe_flush, finalize, layout, _n = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots)
     sorter = _make_sorter(scene, total) if sort_rays else None
+    run_block = _flush_block(step, sorter, int(sort_rays) or FLUSH_STEPS)
 
     def cond(carry):
         i, st, film = carry
@@ -463,12 +512,9 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
 
     def body(carry):
         i, st, film = carry
-        st = jax.lax.fori_loop(
-            0, FLUSH_STEPS, lambda k, s: step(s), st)
+        st = run_block(st)
         st, film = maybe_flush(st, film)
         st, film = maybe_flush(st, film)
-        if sorter is not None:
-            st = sorter(st)
         return i + FLUSH_STEPS, st, film
 
     _, state, film = jax.lax.while_loop(cond, body,
@@ -483,7 +529,7 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
 def _chunk_finalize(scene, camera, state, film, seed, sample_start,
                     samples, *, width, height, max_depth, pool,
                     rr_depth, slots=None, sort_rays=False):
-    total, _, _, _, finalize, layout = _build(
+    total, _, _, _, finalize, layout, _n = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots)
     npix = width * height

@@ -58,6 +58,14 @@ MIN_SLOTS = 2
 DEFAULT_SLOTS = 4
 MAX_SLOTS = 8
 
+# Packet size (rays = rows * LANE) for the streamed kernel.  Streamed
+# scenes are the incoherent-instanced ones where the shared per-packet
+# cursor pays the union of subtree visits; smaller packets keep the
+# union tight (hardware A/B in tools/probe_menger_block.py).
+import os as _os
+
+STREAM_BLOCK_ROWS = int(_os.environ.get("MRT_STREAM_BLOCK_ROWS", "8"))
+
 
 def _row_pad(rows):
     """HBM->SMEM DMA slices must be 8-sublane aligned in dim 0 (Mosaic
@@ -367,13 +375,13 @@ def _normalize_plan(streamed) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("streamed_key", "n_tlas",
-                                             "interpret"))
+                                             "interpret", "block_rows"))
 def _traverse(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
               o3, d3, t_min, det_eps, t_max2, streamed_key, n_tlas,
-              interpret=False):
+              interpret=False, block_rows=BLOCK_ROWS):
     streamed = dict(zip(_ORDER, streamed_key))
     r = o3.shape[1]
-    grid = (pl.cdiv(r, BLOCK_ROWS),)
+    grid = (pl.cdiv(r, block_rows),)
     scalars = jnp.stack([jnp.asarray(t_min, jnp.float32),
                          jnp.asarray(det_eps, jnp.float32)])
 
@@ -387,9 +395,9 @@ def _traverse(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
         return pl.BlockSpec(shape, lambda g, c: tuple(0 for _ in shape),
                             memory_space=pltpu.SMEM)
 
-    ray_spec = pl.BlockSpec((3, BLOCK_ROWS, LANE), lambda g, c: (0, g, 0),
+    ray_spec = pl.BlockSpec((3, block_rows, LANE), lambda g, c: (0, g, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
+    out_spec = pl.BlockSpec((block_rows, LANE), lambda g, c: (g, 0),
                             memory_space=pltpu.VMEM)
 
     scratch = []
@@ -438,9 +446,16 @@ def _traverse(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
 
 
 def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False,
-                   streamed=None):
+                   streamed=None, block_rows=None):
     """Drop-in replacement for pallas_bvh.intersect_tlas with no table
-    size limit (streams oversized groups from HBM)."""
+    size limit (streams oversized groups from HBM).
+
+    block_rows: rays per packet = block_rows * LANE.  The packet shares
+    one traversal cursor, so on diverged rays its cost is the UNION of
+    the rays' subtree visits — smaller packets trade vector width for
+    tighter unions.  Default: STREAM_BLOCK_ROWS (env
+    MRT_STREAM_BLOCK_ROWS), tuned for incoherent instanced scenes.
+    """
     from ..geometry.instance import expand_winner
     from ..geometry.triangles import DET_EPS
 
@@ -509,7 +524,9 @@ def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False,
     if streamed["tri"]:
         tri = pad_rows(tri)
 
-    block = BLOCK_ROWS * LANE
+    if block_rows is None:
+        block_rows = STREAM_BLOCK_ROWS
+    block = block_rows * LANE
     n_pad = -(-n // block) * block
     rows = n_pad // LANE
 
@@ -528,7 +545,7 @@ def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False,
         tnodes, tmeta, inst, imeta, bnodes, bmeta, tri, o3, d3,
         jnp.asarray(t_min, jnp.float32),
         jnp.asarray(DET_EPS, jnp.float32), t_max2, streamed_key, mt,
-        interpret=interpret)
+        interpret=interpret, block_rows=block_rows)
     flat = lambda x: x.reshape(-1)[:n]
     return expand_winner(tlas, o, d, flat(t), flat(bi), flat(btri),
                          flat(u), flat(v))

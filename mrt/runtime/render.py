@@ -119,7 +119,7 @@ def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
         max_depth=max_depth, pool=pool,
         film_sum=film.sum.reshape(-1, 3),
         depth_sum=film.depth_sum.reshape(-1), rr_depth=rr_depth,
-        sort_rays=bool(sort_rays))
+        sort_rays=int(sort_rays))  # cadence: 0 off, k = every k steps
     return film.replace(
         sum=film_sum.reshape(height, width, 3),
         depth_sum=depth_sum.reshape(height, width),

@@ -5,7 +5,7 @@ rendering a small spp at moderate resolution — the real path (TLAS via
 the budget gate: resident packet kernel if it fits, streamed kernel
 otherwise).
 
-  python tools/tpu_menger_bench.py [bake ...]
+  python tools/tpu_menger_bench.py [--sort=0|1|auto] [bake ...]
 """
 import sys
 import time
@@ -21,8 +21,17 @@ def main():
     from mrt.runtime.render import render
     from mrt.ops import pallas_stream, budget
 
-    bakes = [int(a) for a in sys.argv[1:]] or [3, 2]
+    sort_rays = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--sort="):
+            v = a.split("=")[1]
+            sort_rays = None if v == "auto" else bool(int(v))
+        else:
+            args.append(a)
+    bakes = [int(a) for a in args] or [3, 2]
     W, H, SPP, DEPTH = 480, 270, 2, 8
+    print("sort_rays:", sort_rays, flush=True)
 
     for bake in bakes:
         t0 = time.time()
@@ -37,7 +46,7 @@ def main():
               f"plan={plan}", flush=True)
         t0 = time.time()
         film = render(scene, camera, W, H, spp=SPP, max_depth=DEPTH,
-                      seed=1, persistent=True)
+                      seed=1, persistent=True, sort_rays=sort_rays)
         jax.block_until_ready(film.sum)
         dt = time.time() - t0
         rays = W * H * SPP
