@@ -65,6 +65,7 @@ def main():
                                   height=HEIGHT, max_depth=MAX_DEPTH,
                                   samples=SPP)
     film.sum.block_until_ready()
+    warm_depth = int(film.depth_sum.sum())
 
     t0 = time.perf_counter()
     film = render_pass_persistent(scene, camera, film, 1, SPP,
@@ -75,8 +76,9 @@ def main():
 
     camera_rays = WIDTH * HEIGHT * SPP
     rays_per_sec = camera_rays / dt
-    # Path segments give the density-independent number for the record.
-    segments = int(film.depth_sum.sum()) + camera_rays  # each path >= 1 seg
+    # Path segments give the density-independent number for the record
+    # (delta over the warmup pass: each path >= 1 segment).
+    segments = (int(film.depth_sum.sum()) - warm_depth) + camera_rays
     print(f"# {dt:.2f}s for {SPP} spp @ {WIDTH}x{HEIGHT} depth {MAX_DEPTH}; "
           f"{rays_per_sec/1e6:.2f}M camera rays/s, "
           f"{segments/dt/1e6:.2f}M path segments/s", file=sys.stderr)

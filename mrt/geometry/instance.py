@@ -296,43 +296,55 @@ def expand_winner(tlas: TLAS, o, d, best_t, best_inst, best_tri,
                   best_u, best_v) -> Hits:
     """Expand per-ray (t, instance, triangle, u, v) winners to a Hits
     record in world space (shared by the XLA and Pallas traversals)."""
+    from ..ops import rowlookup
+    from .triangles import shading_table, unpack_shading
+
     tris = tlas.tris
     # ---- expand winner ---------------------------------------------------
+    # Packed one-row lookups (ops/rowlookup): ~14 separate gathers here
+    # each ran a serial per-row loop on TPU; two packed lookups run two
+    # (MXU-backed and ~free for small tables).
     hit = jnp.isfinite(best_t)
     inst = jnp.clip(best_inst, 0, None)
     ti = best_tri
     w = (1.0 - best_u - best_v)[:, None]
     uu, vv = best_u[:, None], best_v[:, None]
 
-    normal_l = (tris.na[ti] * w + tris.nb[ti] * uu + tris.nc[ti] * vv)
-    uv = (tris.uva[ti] * w + tris.uvb[ti] * uu + tris.uvc[ti] * vv)
-    uv = jnp.where(tris.has_uv[ti][:, None], uv, 0.0)
+    s = unpack_shading(rowlookup.take_rows(shading_table(tris), ti))
+    normal_l = s["na"] * w + s["nb"] * uu + s["nc"] * vv
+    uv = s["uva"] * w + s["uvb"] * uu + s["uvc"] * vv
+    uv = jnp.where(s["has_uv"][:, None], uv, 0.0)
 
-    fwd = tlas.transform[inst]
+    # Instance row: forward linear part (9) + override (1).
+    inst_table = jnp.concatenate(
+        [tlas.transform[:, :3, :3].reshape(-1, 9),
+         tlas.override.astype(jnp.float32)[:, None]], axis=-1)
+    irow = rowlookup.take_rows(inst_table, inst)
+    lin = irow[:, :9].reshape(-1, 3, 3)
+    ov = jnp.round(irow[:, 9]).astype(jnp.int32)
+
     # World normal: forward linear part then unit (geom.rs:412 — the
     # reference does not use the inverse-transpose; we match it).
-    normal_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3], normal_l)
+    normal_w = jnp.einsum("nij,nj->ni", lin, normal_l)
     norm = jnp.sqrt(jnp.sum(normal_w * normal_w, axis=-1, keepdims=True))
     normal_w = normal_w / jnp.maximum(norm, 1e-20)
 
     t_safe = jnp.where(hit, best_t, 0.0)
     point = o + d * t_safe[:, None]  # t is affine-invariant
 
-    ov = tlas.override[inst]
-    material = jnp.where(ov >= 0, ov, tris.material[ti])
+    material = jnp.where(ov >= 0, ov, s["material"])
 
     # Tangent frame to world space with the same forward-linear
     # convention as the normal (unnormalised, like the reference's
     # object-space tangents, geom.rs:556-560).
-    tangent_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3], tris.tangent[ti])
-    bitangent_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3],
-                             tris.bitangent[ti])
+    tangent_w = jnp.einsum("nij,nj->ni", lin, s["tangent"])
+    bitangent_w = jnp.einsum("nij,nj->ni", lin, s["bitangent"])
 
     normal_w, front_face = set_face_normal(d, normal_w)
     # World-space triangle area for the MIS light pdf: transform the
     # edges by the instance's forward linear part.
-    e1_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3], tris.e_ab[ti])
-    e2_w = jnp.einsum("nij,nj->ni", fwd[:, :3, :3], tris.e_ac[ti])
+    e1_w = jnp.einsum("nij,nj->ni", lin, s["e_ab"])
+    e2_w = jnp.einsum("nij,nj->ni", lin, s["e_ac"])
     area_w = 0.5 * jnp.linalg.norm(jnp.cross(e1_w, e2_w), axis=-1)
     return Hits(
         t=jnp.where(hit, best_t, INF),

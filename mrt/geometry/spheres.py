@@ -79,18 +79,24 @@ def nearest_t(spheres: Spheres, o, d, t_min, t_max):
         best_t, best_i = carry
         c, r, b0 = chunk_in
         cc_rr = jnp.sum(c * c, axis=-1) - r * r            # (C,)
-        # One (C,3) @ (3,2N) matmul for both pair dot products.  HIGHEST
-        # precision is required: the MXU's default single-pass bf16 loses
-        # ~8 mantissa bits, which visibly corrupts hit distances for
-        # large-coordinate spheres (e.g. the RTIOW ground at y=-1000).
-        g = jnp.dot(c, jnp.concatenate([d, o], axis=0).T,
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)    # (C,2N)
-        cd, co = g[:, :n], g[:, n:]
+        # Pair dot products as broadcast elementwise math (exact f32).
+        # A jnp.dot here (even precision=HIGHEST, which large-coordinate
+        # spheres require) is a fusion BOUNDARY: XLA materialises the
+        # (C,2N) products in HBM between the matmul and the reduction —
+        # ~0.5 ms/step of pure traffic at pool 2^16.  Elementwise
+        # broadcasts fuse into one pass with the quadratic + reduction.
+        cd = (c[:, 0:1] * d[None, :, 0] + c[:, 1:2] * d[None, :, 1]
+              + c[:, 2:3] * d[None, :, 2])                 # (C,N)
+        co = (c[:, 0:1] * o[None, :, 0] + c[:, 1:2] * o[None, :, 1]
+              + c[:, 2:3] * o[None, :, 2])                 # (C,N)
         half_b = od[None, :] - cd                          # (C,N)
         c_term = (oo[None, :] - 2.0 * co) + cc_rr[:, None]
         disc = half_b * half_b - a[None, :] * c_term
-        ok = disc >= 0.0
+        # r != 0 excludes chunk-padding spheres: a radius-0 sphere at
+        # the pad origin still scores a tangent "hit" (disc == 0) for
+        # any ray whose line passes exactly through it, handing the
+        # winner a phantom index.
+        ok = (disc >= 0.0) & (r != 0.0)[:, None]
         # where-before-sqrt: sqrt'(0)=inf would NaN the backward pass of
         # differentiable renders even though misses are masked out.
         sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 1.0))
@@ -115,11 +121,26 @@ def nearest_t(spheres: Spheres, o, d, t_min, t_max):
 
 
 def make_hits(spheres: Spheres, o, d, t, index) -> Hits:
-    """Expand (t, index) from nearest_t into a full Hits record."""
+    """Expand (t, index) from nearest_t into a full Hits record.
+
+    The winner expansion reads center/radius/material by index — three
+    (N,)-gathers from a small table, which XLA lowers to serial per-row
+    loops on TPU (~0.3 ms each at N=2^16).  A single packed one-hot MXU
+    lookup (ops/rowlookup, bit-exact) replaces them."""
+    from ..ops import rowlookup
+
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
-    c = spheres.center[index]
-    r = spheres.radius[index]
+    packed = jnp.concatenate(
+        [spheres.center, spheres.radius[:, None],
+         spheres.material.astype(jnp.float32)[:, None]], axis=-1)
+    # Clamp like a gather would: an out-of-range index through the
+    # one-hot path yields an all-zero row (r=0 -> NaN normal).
+    index = jnp.clip(index, 0, packed.shape[0] - 1)
+    row = rowlookup.take_rows(packed, index)
+    c = row[:, :3]
+    r = row[:, 3]
+    material = jnp.round(row[:, 4]).astype(jnp.int32)
     point = o + d * t_safe[:, None]
     outward = (point - c) / r[:, None]
     normal, front_face = set_face_normal(d, outward)
@@ -129,7 +150,7 @@ def make_hits(spheres: Spheres, o, d, t, index) -> Hits:
         normal=normal,
         front_face=front_face,
         uv=jnp.zeros((o.shape[0], 2), jnp.float32),  # spheres carry no UVs
-        material=spheres.material[index],
+        material=material,
         hit=hit,
         tangent=jnp.zeros_like(point),
         bitangent=jnp.zeros_like(point),

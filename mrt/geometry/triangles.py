@@ -207,6 +207,34 @@ def nearest_hit(tris: Triangles, o, d, t_min, t_max):
     return best_t, best_i, best_u, best_v
 
 
+def shading_table(tris: Triangles):
+    """Per-triangle shading data packed into ONE (T, 29) f32 table.
+
+    A winner expansion that gathers 12 separate arrays runs 12 serial
+    per-row loops on TPU; one packed lookup runs one — and small tables
+    go through the bit-exact one-hot MXU path (ops/rowlookup).
+    Columns: na nb nc (9), uva uvb uvc (6), has_uv (1), material (1),
+    tangent bitangent (6), e_ab e_ac (6)."""
+    return jnp.concatenate(
+        [tris.na, tris.nb, tris.nc,
+         tris.uva, tris.uvb, tris.uvc,
+         tris.has_uv.astype(jnp.float32)[:, None],
+         tris.material.astype(jnp.float32)[:, None],
+         tris.tangent, tris.bitangent,
+         tris.e_ab, tris.e_ac], axis=-1)
+
+
+def unpack_shading(row):
+    """Split a (N, 29) shading_table lookup into named parts."""
+    return dict(
+        na=row[:, 0:3], nb=row[:, 3:6], nc=row[:, 6:9],
+        uva=row[:, 9:11], uvb=row[:, 11:13], uvc=row[:, 13:15],
+        has_uv=row[:, 15] > 0.5,
+        material=jnp.round(row[:, 16]).astype(jnp.int32),
+        tangent=row[:, 17:20], bitangent=row[:, 20:23],
+        e_ab=row[:, 23:26], e_ac=row[:, 26:29])
+
+
 def make_hits(tris: Triangles, o, d, t, index, u, v) -> Hits:
     """Expand winner (t, index, u, v) into a full Hits record.
 
@@ -214,30 +242,31 @@ def make_hits(tris: Triangles, o, d, t, index, u, v) -> Hits:
     the reference's areal weights (geom.rs:536-552) for points on the
     triangle plane.  Normal is NOT renormalised, matching geom.rs:552.
     """
+    from ..ops import rowlookup
+
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
     point = o + d * t_safe[:, None]
     w = (1.0 - u - v)[:, None]
     uu, vv = u[:, None], v[:, None]
 
-    normal = (tris.na[index] * w + tris.nb[index] * uu
-              + tris.nc[index] * vv)
-    uv = (tris.uva[index] * w + tris.uvb[index] * uu
-          + tris.uvc[index] * vv)
-    uv = jnp.where(tris.has_uv[index][:, None], uv, 0.0)
+    s = unpack_shading(rowlookup.take_rows(shading_table(tris), index))
+    normal = s["na"] * w + s["nb"] * uu + s["nc"] * vv
+    uv = s["uva"] * w + s["uvb"] * uu + s["uvc"] * vv
+    uv = jnp.where(s["has_uv"][:, None], uv, 0.0)
     normal, front_face = set_face_normal(d, normal)
     area = 0.5 * jnp.linalg.norm(
-        jnp.cross(tris.e_ab[index], tris.e_ac[index]), axis=-1)
+        jnp.cross(s["e_ab"], s["e_ac"]), axis=-1)
     return Hits(
         t=jnp.where(hit, t, INF),
         point=point,
         normal=normal,
         front_face=front_face,
         uv=uv,
-        material=tris.material[index],
+        material=s["material"],
         hit=hit,
-        tangent=tris.tangent[index],
-        bitangent=tris.bitangent[index],
+        tangent=s["tangent"],
+        bitangent=s["bitangent"],
         prim_area=jnp.where(hit, area, 0.0),
     )
 
