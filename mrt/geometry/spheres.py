@@ -7,11 +7,11 @@ against all S spheres as dense vector math:
   half_b[s, r] = dot(o_r, d_r) - dot(c_s, d_r)
   c_term[s, r] = |o_r|^2 - 2 dot(c_s, o_r) + |c_s|^2 - radius_s^2
 
-The two pair terms dot(c, d) and dot(c, o) are a single (S,3) @ (3,2N)
-matmul — MXU work — and everything else is VPU elementwise.  To keep the
-(S, N) intermediates out of HBM we scan over sphere chunks carrying a
-running (best_t, best_index); XLA fuses each chunk's math into the
-reduction.
+The pair terms dot(c, d) and dot(c, o) are broadcast elementwise math —
+a matmul there is a fusion boundary that materialises the (S,N) products
+in HBM (see nearest_t).  To keep the (S, N) intermediates out of HBM we
+scan over sphere chunks carrying a running (best_t, best_index); XLA
+fuses each chunk's math into the reduction.
 
 Root selection matches geom.rs:64-75: try the near root, fall back to the
 far root, reject if outside [t_min, t_best).
@@ -27,7 +27,9 @@ from .hit import Hits, set_face_normal, INF
 
 # Spheres per scan chunk: bounds the (CHUNK, N) temporaries so XLA can
 # keep them in VMEM/fused for typical wavefront batch sizes (~128k rays).
-CHUNK = 128
+import os as _os
+
+CHUNK = int(_os.environ.get("MRT_SPHERE_CHUNK", "128"))
 
 
 @struct.dataclass

@@ -413,14 +413,18 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
                  t_out, inst_out, tri_out, u_out, v_out, *, n_tlas):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    # Inverse directions hoisted: the ray only changes on instance
+    # enter, but an in-slab divide costs 3 vector divides per NODE.
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
     t_min = scalars_ref[0]
     det_eps = scalars_ref[1]
     t_max = tmax_ref[:]
 
-    def slab(lo, hi, o_c, d_c, near, far):
-        inv = 1.0 / d_c
-        t0 = (lo - o_c) * inv
-        t1 = (hi - o_c) * inv
+    def slab(lo, hi, o_c, inv_c, near, far):
+        t0 = (lo - o_c) * inv_c
+        t1 = (hi - o_c) * inv_c
         return (jnp.maximum(near, jnp.minimum(t0, t1)),
                 jnp.minimum(far, jnp.maximum(t0, t1)))
 
@@ -430,22 +434,22 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
 
     def body(carry):
         (tnode, inst, resume, bnode,
-         lox, loy, loz, ldx, ldy, ldz,
+         lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
          bt, b_inst, b_tri, bu, bv) = carry
 
         def tlas_phase(c):
             (tnode, inst, resume, bnode,
-             lox, loy, loz, ldx, ldy, ldz,
+             lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
              bt, b_inst, b_tri, bu, bv) = c
             n = tnode
             near = jnp.full_like(bt, t_min)
             far = jnp.minimum(bt, t_max)
             near, far = slab(tnodes_ref[0, n], tnodes_ref[3, n],
-                             ox, dx, near, far)
+                             ox, inv_dx, near, far)
             near, far = slab(tnodes_ref[1, n], tnodes_ref[4, n],
-                             oy, dy, near, far)
+                             oy, inv_dy, near, far)
             near, far = slab(tnodes_ref[2, n], tnodes_ref[5, n],
-                             oz, dz, near, far)
+                             oz, inv_dz, near, far)
             any_hit = jnp.any(near <= far)
             leaf_inst = tmeta_ref[0, n]
             escape = tmeta_ref[1, n]
@@ -462,35 +466,38 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
                 nldy = r[3] * dx + r[4] * dy + r[5] * dz
                 nldz = r[6] * dx + r[7] * dy + r[8] * dz
                 return (escape, i, imeta_ref[0, i],
-                        nlox, nloy, nloz, nldx, nldy, nldz)
+                        nlox, nloy, nloz, nldx, nldy, nldz,
+                        1.0 / nldx, 1.0 / nldy, 1.0 / nldz)
 
             def no_enter(_):
                 nxt = jnp.where(any_hit, n + 1, escape)
                 return (nxt, jnp.int32(-1), jnp.int32(0),
-                        lox, loy, loz, ldx, ldy, ldz)
+                        lox, loy, loz, ldx, ldy, ldz, lix, liy, liz)
 
             (tnode2, inst2, bnode2, lox2, loy2, loz2, ldx2, ldy2,
-             ldz2) = jax.lax.cond(enter, do_enter, no_enter, None)
+             ldz2, lix2, liy2, liz2) = jax.lax.cond(enter, do_enter,
+                                                    no_enter, None)
             # On enter: resume holds the TLAS continuation (escape) and
             # tnode2 (=escape) is where we come back to; bnode starts at
             # the mesh root.
             return (tnode2, inst2, tnode2, bnode2,
                     lox2, loy2, loz2, ldx2, ldy2, ldz2,
+                    lix2, liy2, liz2,
                     bt, b_inst, b_tri, bu, bv)
 
         def blas_phase(c):
             (tnode, inst, resume, bnode,
-             lox, loy, loz, ldx, ldy, ldz,
+             lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
              bt, b_inst, b_tri, bu, bv) = c
             n = bnode
             near = jnp.full_like(bt, t_min)
             far = jnp.minimum(bt, t_max)
             near, far = slab(bnodes_ref[0, n], bnodes_ref[3, n],
-                             lox, ldx, near, far)
+                             lox, lix, near, far)
             near, far = slab(bnodes_ref[1, n], bnodes_ref[4, n],
-                             loy, ldy, near, far)
+                             loy, liy, near, far)
             near, far = slab(bnodes_ref[2, n], bnodes_ref[5, n],
-                             loz, ldz, near, far)
+                             loz, liz, near, far)
             any_hit = jnp.any(near <= far)
             first = bmeta_ref[0, n]
             count = bmeta_ref[1, n]
@@ -542,7 +549,7 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
             tnode2 = jnp.where(done, resume, tnode)
             bnode2 = jnp.where(done, 0, nxt)
             return (tnode2, inst2, resume, bnode2,
-                    lox, loy, loz, ldx, ldy, ldz,
+                    lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
                     bt, b_inst, b_tri, bu, bv)
 
         return jax.lax.cond(inst >= 0, blas_phase, tlas_phase, carry)
@@ -550,14 +557,14 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
     zero = jnp.zeros_like(t_max)
     izero = jnp.zeros_like(t_max, dtype=jnp.int32)
     init = (jnp.int32(0), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
-            zero, zero, zero, zero, zero, zero,
+            zero, zero, zero, zero, zero, zero, zero, zero, zero,
             jnp.full_like(t_max, INF), izero - 1, izero, zero, zero)
     out = jax.lax.while_loop(cond, body, init)
-    t_out[:] = out[10]
-    inst_out[:] = out[11]
-    tri_out[:] = out[12]
-    u_out[:] = out[13]
-    v_out[:] = out[14]
+    t_out[:] = out[13]
+    inst_out[:] = out[14]
+    tri_out[:] = out[15]
+    u_out[:] = out[16]
+    v_out[:] = out[17]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -180,14 +180,18 @@ def _build_kernel(streamed, n_tlas):
 
         ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
         dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+        # Hoisted inverse directions: an in-slab divide costs 3 vector
+        # divides per node; the ray only changes on instance enter.
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
         t_min = scalars_ref[0]
         det_eps = scalars_ref[1]
         t_max = tmax_ref[:]
 
-        def slab(lo, hi, o_c, d_c, near, far):
-            inv = 1.0 / d_c
-            t0 = (lo - o_c) * inv
-            t1 = (hi - o_c) * inv
+        def slab(lo, hi, o_c, inv_c, near, far):
+            t0 = (lo - o_c) * inv_c
+            t1 = (hi - o_c) * inv_c
             return (jnp.maximum(near, jnp.minimum(t0, t1)),
                     jnp.minimum(far, jnp.maximum(t0, t1)))
 
@@ -197,20 +201,20 @@ def _build_kernel(streamed, n_tlas):
 
         def body(carry):
             (tnode, inst_c, resume, bnode, bend,
-             lox, loy, loz, ldx, ldy, ldz,
+             lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
              bt, b_inst, b_tri, bu, bv) = carry
 
             def tlas_phase(c):
                 (tnode, inst_c, resume, bnode, bend,
-                 lox, loy, loz, ldx, ldy, ldz,
+                 lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
                  bt, b_inst, b_tri, bu, bv) = c
                 n = tnode
                 tf, ti = tn_entry(n)
                 near = jnp.full_like(bt, t_min)
                 far = jnp.minimum(bt, t_max)
-                near, far = slab(tf(0), tf(3), ox, dx, near, far)
-                near, far = slab(tf(1), tf(4), oy, dy, near, far)
-                near, far = slab(tf(2), tf(5), oz, dz, near, far)
+                near, far = slab(tf(0), tf(3), ox, inv_dx, near, far)
+                near, far = slab(tf(1), tf(4), oy, inv_dy, near, far)
+                near, far = slab(tf(2), tf(5), oz, inv_dz, near, far)
                 any_hit = jnp.any(near <= far)
                 leaf_inst = ti(0)
                 escape = ti(1)
@@ -227,32 +231,34 @@ def _build_kernel(streamed, n_tlas):
                     nldy = r[3] * dx + r[4] * dy + r[5] * dz
                     nldz = r[6] * dx + r[7] * dy + r[8] * dz
                     return (escape, i, ini(0), ini(1),
-                            nlox, nloy, nloz, nldx, nldy, nldz)
+                            nlox, nloy, nloz, nldx, nldy, nldz,
+                            1.0 / nldx, 1.0 / nldy, 1.0 / nldz)
 
                 def no_enter(_):
                     nxt = jnp.where(any_hit, n + 1, escape)
                     return (nxt, jnp.int32(-1), jnp.int32(0),
                             jnp.int32(0),
-                            lox, loy, loz, ldx, ldy, ldz)
+                            lox, loy, loz, ldx, ldy, ldz, lix, liy, liz)
 
                 (tnode2, inst2, bnode2, bend2, lox2, loy2, loz2, ldx2,
-                 ldy2, ldz2) = jax.lax.cond(enter, do_enter, no_enter,
-                                            None)
+                 ldy2, ldz2, lix2, liy2, liz2) = jax.lax.cond(
+                     enter, do_enter, no_enter, None)
                 return (tnode2, inst2, tnode2, bnode2, bend2,
                         lox2, loy2, loz2, ldx2, ldy2, ldz2,
+                        lix2, liy2, liz2,
                         bt, b_inst, b_tri, bu, bv)
 
             def blas_phase(c):
                 (tnode, inst_c, resume, bnode, bend,
-                 lox, loy, loz, ldx, ldy, ldz,
+                 lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
                  bt, b_inst, b_tri, bu, bv) = c
                 n = bnode
                 bf, bi_ = bn_entry(n)
                 near = jnp.full_like(bt, t_min)
                 far = jnp.minimum(bt, t_max)
-                near, far = slab(bf(0), bf(3), lox, ldx, near, far)
-                near, far = slab(bf(1), bf(4), loy, ldy, near, far)
-                near, far = slab(bf(2), bf(5), loz, ldz, near, far)
+                near, far = slab(bf(0), bf(3), lox, lix, near, far)
+                near, far = slab(bf(1), bf(4), loy, liy, near, far)
+                near, far = slab(bf(2), bf(5), loz, liz, near, far)
                 any_hit = jnp.any(near <= far)
                 first = bi_(0)
                 count = bi_(1)
@@ -305,7 +311,7 @@ def _build_kernel(streamed, n_tlas):
                 tnode2 = jnp.where(done, resume, tnode)
                 bnode2 = jnp.where(done, 0, nxt)
                 return (tnode2, inst2, resume, bnode2, bend,
-                        lox, loy, loz, ldx, ldy, ldz,
+                        lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
                         bt, b_inst, b_tri, bu, bv)
 
             return jax.lax.cond(inst_c >= 0, blas_phase, tlas_phase,
@@ -315,14 +321,14 @@ def _build_kernel(streamed, n_tlas):
         izero = jnp.zeros_like(t_max, dtype=jnp.int32)
         init = (jnp.int32(0), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
                 jnp.int32(0),
-                zero, zero, zero, zero, zero, zero,
+                zero, zero, zero, zero, zero, zero, zero, zero, zero,
                 jnp.full_like(t_max, INF), izero - 1, izero, zero, zero)
         out = jax.lax.while_loop(cond, body, init)
-        t_out[:] = out[11]
-        inst_out[:] = out[12]
-        tri_out[:] = out[13]
-        u_out[:] = out[14]
-        v_out[:] = out[15]
+        t_out[:] = out[14]
+        inst_out[:] = out[15]
+        tri_out[:] = out[16]
+        u_out[:] = out[17]
+        v_out[:] = out[18]
 
     return kernel
 
