@@ -235,7 +235,9 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
             from ..materials import table as T
             from ..materials import lights as lights_mod
 
-            is_light = (scene.materials.mtype[hits.material]
+            from ..materials.shade import _icol, _rows_of
+            is_light = (_icol(_rows_of(scene.materials, hits.material),
+                              T.MaterialTable.C_MTYPE)
                         == T.DIFFUSE_LIGHT)
             w_b = lights_mod.mis_bsdf_weight(scene, hits, o, d,
                                              prev_pdf)

@@ -68,8 +68,9 @@ def _bounce(scene, ray_id, seed, b, state, rr_depth=None):
         from ..materials import table as T
         from ..materials import lights as lights_mod
 
-        is_light = (scene.materials.mtype[hits.material]
-                    == T.DIFFUSE_LIGHT)
+        from ..materials.shade import _icol, _rows_of
+        is_light = (_icol(_rows_of(scene.materials, hits.material),
+                          T.MaterialTable.C_MTYPE) == T.DIFFUSE_LIGHT)
         w_b = lights_mod.mis_bsdf_weight(scene, hits, o, d, prev_pdf)
         emitted = emitted * jnp.where(is_light & (prev_pdf > 0.0),
                                       w_b, 1.0)[:, None]

@@ -181,7 +181,9 @@ def sample_direct(scene, hits, sampler, lobe=None):
     L = lights.count
     n = hits.material.shape[0]
     if lobe is None:
-        mtype = scene.materials.mtype[hits.material]
+        from .shade import _icol, _rows_of
+        mtype = _icol(_rows_of(scene.materials, hits.material),
+                      T.MaterialTable.C_MTYPE)
         lobe = jnp.where(mtype == T.LAMBERTIAN, 1, 0)
         mis = False
     else:

@@ -32,6 +32,18 @@ from ..math import vec, sampling
 from . import table as T
 
 
+def _rows_of(materials, rows):
+    """One packed-material lookup for a wavefront's rows (bit-exact
+    one-hot MXU path; identical calls CSE inside a jitted step)."""
+    from ..ops.rowlookup import take_rows
+
+    return take_rows(materials.packed, rows)
+
+
+def _icol(packed_rows, col):
+    return jnp.round(packed_rows[:, col]).astype(jnp.int32)
+
+
 def resolve_mix(materials: T.MaterialTable, rows, u_draws):
     """Resolve MIX rows to concrete rows with pre-drawn uniforms.
 
@@ -40,10 +52,12 @@ def resolve_mix(materials: T.MaterialTable, rows, u_draws):
     `f32::rand()` per Mix level (material.rs:403-407).
     """
     for u in u_draws:
-        is_mix = materials.mtype[rows] == T.MIX
-        pick_left = u < materials.mix_ratio[rows]
-        resolved = jnp.where(pick_left, materials.mix_left[rows],
-                             materials.mix_right[rows])
+        m = _rows_of(materials, rows)
+        is_mix = _icol(m, T.MaterialTable.C_MTYPE) == T.MIX
+        pick_left = u < m[:, T.MaterialTable.C_MIX_RATIO]
+        resolved = jnp.where(pick_left,
+                             _icol(m, T.MaterialTable.C_MIX_LEFT),
+                             _icol(m, T.MaterialTable.C_MIX_RIGHT))
         rows = jnp.where(is_mix, resolved, rows)
     return rows
 
@@ -64,10 +78,11 @@ def surface_rgba(scene, rows, uv):
     the row's solid albedo (reference: Surface::get_f, texture.rs:126-148).
     """
     materials = scene.materials
-    solid = materials.albedo[rows]                       # (N,4)
+    m = _rows_of(materials, rows)
+    solid = m[:, :4]                                     # (N,4) albedo
     if scene.atlas is None:
         return solid
-    tex = materials.tex[rows]
+    tex = _icol(m, T.MaterialTable.C_TEX)
     sampled = scene.atlas.sample(jnp.maximum(tex, 0), uv)
     return jnp.where((tex >= 0)[:, None], sampled, solid)
 
@@ -79,22 +94,31 @@ def eve_surface(scene, rows, uv):
     """
     materials = scene.materials
     atlas = scene.atlas
-    ar = atlas.sample(jnp.maximum(materials.tex[rows], 0), uv)
+    m = _rows_of(materials, rows)
+    ar = atlas.sample(jnp.maximum(_icol(m, T.MaterialTable.C_TEX), 0),
+                      uv)
     albedo, roughness = ar[..., :3], ar[..., 3]
-    pmdg = atlas.sample(jnp.maximum(materials.tex_pmdg[rows], 0), uv)
+    pmdg = atlas.sample(
+        jnp.maximum(_icol(m, T.MaterialTable.C_TEX_PMDG), 0), uv)
     paint = pmdg[..., 0]
     mat_mask = pmdg[..., 1]
     dirt = pmdg[..., 2]
     glow = pmdg[..., 3]
 
     # Faction palette lerp by mask * 3 (eve.rs:192-198).
-    pal = materials.palette[rows]                     # (N,4,3)
+    pal = m[:, T.MaterialTable.C_PALETTE].reshape(-1, 4, 3)   # (N,4,3)
     i = mat_mask * 3.0
     i0 = jnp.clip(jnp.floor(i).astype(jnp.int32), 0, 3)
     i1 = jnp.clip(jnp.ceil(i).astype(jnp.int32), 0, 3)
     frac = (i - i0.astype(jnp.float32))[..., None]
-    c0 = jnp.take_along_axis(pal, i0[:, None, None].repeat(3, -1), 1)[:, 0]
-    c1 = jnp.take_along_axis(pal, i1[:, None, None].repeat(3, -1), 1)[:, 0]
+    # 4-way masked select instead of take_along_axis: a per-ray gather
+    # along axis 1 lowers to a serial row loop on TPU; four masked adds
+    # are pure VPU work.
+    c0 = jnp.zeros(pal.shape[:1] + (3,), pal.dtype)
+    c1 = jnp.zeros_like(c0)
+    for k in range(4):
+        c0 = c0 + pal[:, k] * (i0 == k)[:, None]
+        c1 = c1 + pal[:, k] * (i1 == k)[:, None]
     mat_color = c0 * (1.0 - frac) + c1 * frac
 
     # Dirt-darkened, paint-blended albedo (eve.rs:103-108).
@@ -103,7 +127,7 @@ def eve_surface(scene, rows, uv):
               + albedo * paint[..., None]) * (1.0 - dirt_c)
              + jnp.asarray([0.01, 0.005, 0.0]) * dirt[..., None])
     ratio = jnp.minimum(roughness + dirt, 1.0)
-    glow_e = materials.glow3[rows] * glow[..., None] * 10.0
+    glow_e = m[:, T.MaterialTable.C_GLOW] * glow[..., None] * 10.0
     return color, ratio, glow_e
 
 
@@ -116,9 +140,9 @@ def emitted(scene, hits, sampler):
     """
     materials = scene.materials
     rows = resolve_rows(scene, hits.material, sampler)
-    mtype = materials.mtype[rows]
-    return _emitted_from(scene, rows, mtype,
-                         materials.params[rows][:, 6:9], hits)
+    m = _rows_of(materials, rows)
+    mtype = _icol(m, T.MaterialTable.C_MTYPE)
+    return _emitted_from(scene, rows, mtype, m[:, 6:9], hits)
 
 
 def _emitted_from(scene, rows, mtype, emit_rgb, hits):
@@ -143,10 +167,11 @@ def apply_normal_maps(scene, hits, d_in):
     """
     materials = scene.materials
     rows = hits.material
-    tex_no = materials.tex_no[rows]
+    m = _rows_of(materials, rows)
+    tex_no = _icol(m, T.MaterialTable.C_TEX_NO)
     has_frame = jnp.sum(hits.tangent * hits.tangent, axis=-1) > 0.0
-    applies = ((materials.mtype[rows] == T.EVE) & (tex_no >= 0)
-               & hits.hit & has_frame)
+    applies = ((_icol(m, T.MaterialTable.C_MTYPE) == T.EVE)
+               & (tex_no >= 0) & hits.hit & has_frame)
 
     px = scene.atlas.sample(jnp.maximum(tex_no, 0), hits.uv) * 2.0 - 1.0
     x = 1.0 - px[..., 1] ** 2 - px[..., 3] ** 2
@@ -190,9 +215,10 @@ def scatter(scene, hits, d_in, sampler):
     """
     materials = scene.materials
     rows = resolve_rows(scene, hits.material, sampler)
-    mtype = materials.mtype[rows]
-    return _scatter_from(scene, rows, mtype, materials.params[rows],
-                         hits, d_in, sampler)
+    m = _rows_of(materials, rows)
+    mtype = _icol(m, T.MaterialTable.C_MTYPE)
+    return _scatter_from(scene, rows, mtype, m[:, :9], hits, d_in,
+                         sampler)
 
 
 def _scatter_from(scene, rows, mtype, params, hits, d_in, sampler):
@@ -210,7 +236,8 @@ def _scatter_from(scene, rows, mtype, params, hits, d_in, sampler):
     if scene.atlas is None:
         rgba = solid_rgba
     else:
-        tex = scene.materials.tex[rows]
+        tex = _icol(_rows_of(scene.materials, rows),
+                    T.MaterialTable.C_TEX)
         sampled = scene.atlas.sample(jnp.maximum(tex, 0), hits.uv)
         rgba = jnp.where((tex >= 0)[:, None], sampled, solid_rgba)
     albedo = rgba[..., :3]
@@ -334,7 +361,7 @@ def alpha_test(scene, rows, uv, sampler):
     materials = scene.materials
     rows = resolve_rows(scene, rows, sampler)
     rgba = surface_rgba(scene, rows, uv)
-    mtype = materials.mtype[rows]
+    mtype = _icol(_rows_of(materials, rows), T.MaterialTable.C_MTYPE)
     tests_alpha = ((mtype == T.LAMBERTIAN) | (mtype == T.METAL)
                    | (mtype == T.SPECULAR))
     return ~tests_alpha | (rgba[..., 3] != 0.0)

@@ -77,6 +77,40 @@ class MaterialTable:
             [self.albedo, self.fuzz[:, None], self.ior[:, None],
              self.emit], axis=1)
 
+    # Column layout of `packed` (first 9 columns == `params`).
+    C_MTYPE = 9
+    C_TEX = 10
+    C_TEX_PMDG = 11
+    C_TEX_NO = 12
+    C_GLOW = slice(13, 16)
+    C_PALETTE = slice(16, 28)
+    C_MIX_RATIO = 28
+    C_MIX_LEFT = 29
+    C_MIX_RIGHT = 30
+
+    @property
+    def packed(self):
+        """EVERY column in one (M,31) f32 matrix so any shading path
+        resolves a wavefront's material data with ONE bit-exact one-hot
+        MXU lookup (ops/rowlookup) instead of per-column gathers — XLA
+        lowers each (N,)-row gather to a ~0.3 ms serial loop at N=2^16,
+        and the EVE path alone touched 8+ columns (24 ms/step of
+        gathers, tools/profile_eve.py).  Identical-argument lookups CSE
+        to a single matmul inside one jitted step."""
+        f = lambda x: x.astype(jnp.float32)[:, None]
+        return jnp.concatenate(
+            [self.params,                          # 0:9
+             f(self.mtype),                        # 9
+             f(self.tex),                          # 10
+             f(self.tex_pmdg),                     # 11
+             f(self.tex_no),                       # 12
+             self.glow3,                           # 13:16
+             self.palette.reshape(-1, 12),         # 16:28
+             self.mix_ratio[:, None],              # 28
+             f(self.mix_left),                     # 29
+             f(self.mix_right),                    # 30
+             ], axis=1)
+
 
 class MaterialBuilder:
     """Host-side accumulator producing a MaterialTable.

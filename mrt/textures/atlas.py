@@ -80,6 +80,22 @@ class TextureAtlas:
     right: jnp.ndarray     # (T,) child id (RAW rows: self)
     mode: jnp.ndarray      # (T,) blend mode
     fb_color: jnp.ndarray  # (T,4) fallback solid color
+    # Gather-pathology fixes (TPU lowers an (N,)-row gather to a serial
+    # per-row loop, ~0.3 ms per gather at N=2^16 — EVE shading was 24
+    # ms/step of gathers):
+    #   qdata: (P,16) quad-packed texels [t(x,y) t(x+1,y) t(x,y+1)
+    #     t(x+1,y+1)], edge-clamped.  ONE gather per bilinear sample
+    #     instead of four; the clamped neighbour always carries lerp
+    #     weight exactly 0, so results are bit-identical.
+    #   meta: (T,12) f32-packed row metadata [offset width height wrap
+    #     kind left right mode fb_color(4)] for ops/rowlookup (bit-exact
+    #     one-hot MXU lookup) instead of ~12 separate gathers.
+    # Both are None on old pytrees / oversized atlases (gather fallback).
+    qdata: jnp.ndarray = None
+    meta: jnp.ndarray = None
+    # Static: every row is RAW (no combinators) -> sample() can skip the
+    # right-child sample and the combinator selects entirely.
+    all_raw: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def count(self):
@@ -96,41 +112,67 @@ class TextureAtlas:
         return jnp.where(w == REPEAT, rep,
                          jnp.where(w == CLAMP, clamp, mir))
 
-    def _sample_raw(self, ids, uv):
+    def _meta_rows(self, ids):
+        """(offset, width, height, wrap, kind, left, right, mode,
+        fb_color) for ids — one packed lookup when available."""
+        if self.meta is None:
+            return (self.offset[ids], self.width[ids], self.height[ids],
+                    self.wrap[ids], self.kind[ids], self.left[ids],
+                    self.right[ids], self.mode[ids], self.fb_color[ids])
+        from ..ops import rowlookup
+
+        m = rowlookup.take_rows(self.meta, ids)
+        i = lambda k: jnp.round(m[:, k]).astype(jnp.int32)
+        return (i(0), i(1), i(2), i(3), i(4), i(5), i(6), i(7),
+                m[:, 8:12])
+
+    def _sample_raw(self, ids, uv, meta=None):
         """Bilinear sample of RAW rows (texture.rs:126-148)."""
-        off = self.offset[ids]
-        w = self.width[ids]
-        h = self.height[ids]
-        wm = self.wrap[ids]
+        if meta is None:
+            meta = self._meta_rows(ids)
+        off, w, h, wm = meta[0], meta[1], meta[2], meta[3]
 
         u = self._wrap(wm, uv[..., 0])
         v = self._wrap(wm, uv[..., 1])
         x = u * (w - 1).astype(jnp.float32)
         y = v * (h - 1).astype(jnp.float32)
         x0 = jnp.floor(x).astype(jnp.int32)
-        x1 = jnp.ceil(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
+        tx = (x - x0.astype(jnp.float32))[..., None]
+        ty = (y - y0.astype(jnp.float32))[..., None]
+
+        if self.qdata is not None:
+            q = self.qdata[off + y0 * w + x0]       # ONE gather
+            t00, t10 = q[:, 0:4], q[:, 4:8]
+            t01, t11 = q[:, 8:12], q[:, 12:16]
+            p0 = t00 * (1.0 - tx) + t10 * tx
+            p1 = t01 * (1.0 - tx) + t11 * tx
+            return p1 * ty + p0 * (1.0 - ty)
+
+        x1 = jnp.ceil(x).astype(jnp.int32)
         y1 = jnp.ceil(y).astype(jnp.int32)
 
         def texel(xx, yy):
             return self.data[off + yy * w + xx]
 
-        tx = (x - x0.astype(jnp.float32))[..., None]
         p0 = texel(x0, y0) * (1.0 - tx) + texel(x1, y0) * tx
         p1 = texel(x0, y1) * (1.0 - tx) + texel(x1, y1) * tx
-        ty = (y - y0.astype(jnp.float32))[..., None]
         return p1 * ty + p0 * (1.0 - ty)
 
     def sample(self, ids, uv):
         """Sample any row kind for a wavefront: ids (N,), uv (N,2) ->
         (N,4) RGBA."""
         ids = jnp.asarray(ids)
-        kind = self.kind[ids]
-        sl = self._sample_raw(self.left[ids], uv)
-        sr = self._sample_raw(self.right[ids], uv)
+        if self.all_raw:
+            # left == self for RAW rows; no combinator resolution.
+            return self._sample_raw(ids, uv)
+        meta = self._meta_rows(ids)
+        kind, left, right = meta[4], meta[5], meta[6]
+        sl = self._sample_raw(left, uv)
+        sr = self._sample_raw(right, uv)
 
         # BLEND (texture.rs:253-259): elementwise on all 4 channels.
-        mode = self.mode[ids][..., None]
+        mode = meta[7][..., None]
         blended = jnp.select(
             [mode == LIGHTEN, mode == DARKEN, mode == ADDITION],
             [jnp.maximum(sl, sr), jnp.minimum(sl, sr),
@@ -153,7 +195,7 @@ class TextureAtlas:
 
         # FALLBACK (texture.rs:356-359): color*(1-a) + c*a, all channels.
         a = sl[..., 3:4]
-        fallback = self.fb_color[ids] * (1.0 - a) + sl * a
+        fallback = meta[8] * (1.0 - a) + sl * a
 
         return jnp.select(
             [kind[..., None] == RAW, kind[..., None] == BLEND,
@@ -270,13 +312,44 @@ class AtlasBuilder:
     def bake_addition(self, left, right, wrap=REPEAT):
         return self.bake_blend(ADDITION, left, right, wrap=wrap)
 
+    # Quad-packed texels are 4x the atlas memory; beyond this texel
+    # count fall back to the 4-gather bilinear path.
+    QUAD_TEXEL_LIMIT = 4 << 20   # 4M texels = 256 MB packed
+
     def build(self) -> TextureAtlas:
         if not self._pixels:
             self.add_solid((1.0, 1.0, 1.0, 1.0))
         rows = self._rows
         g = lambda k, dt: jnp.asarray(np.array([r[k] for r in rows], dt))
+        data = np.concatenate(self._pixels, axis=0)
+
+        qdata = None
+        if data.shape[0] <= self.QUAD_TEXEL_LIMIT:
+            q = np.zeros((data.shape[0], 16), np.float32)
+            for r in rows:
+                if r["kind"] != RAW:
+                    continue
+                off, w, h = r["offset"], r["width"], r["height"]
+                img = data[off:off + h * w].reshape(h, w, 4)
+                xp = np.minimum(np.arange(w) + 1, w - 1)
+                yp = np.minimum(np.arange(h) + 1, h - 1)
+                packed = np.concatenate(
+                    [img, img[:, xp], img[yp], img[yp][:, xp]],
+                    axis=-1)
+                q[off:off + h * w] = packed.reshape(-1, 16)
+            qdata = jnp.asarray(q)
+
+        meta = None
+        if data.shape[0] < (1 << 24):   # offsets must be f32-exact ints
+            meta = jnp.asarray(np.concatenate([
+                np.array([[r["offset"], r["width"], r["height"],
+                           r["wrap"], r["kind"], r["left"], r["right"],
+                           r["mode"]] for r in rows], np.float32),
+                np.array([r["fb_color"] for r in rows], np.float32),
+            ], axis=-1))
+
         return TextureAtlas(
-            data=jnp.asarray(np.concatenate(self._pixels, axis=0)),
+            data=jnp.asarray(data),
             offset=g("offset", np.int32),
             width=g("width", np.int32),
             height=g("height", np.int32),
@@ -286,4 +359,7 @@ class AtlasBuilder:
             right=g("right", np.int32),
             mode=g("mode", np.int32),
             fb_color=g("fb_color", np.float32),
+            qdata=qdata,
+            meta=meta,
+            all_raw=all(r["kind"] == RAW for r in rows),
         )

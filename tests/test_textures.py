@@ -194,3 +194,49 @@ class TestMirrorWrap:
         # mirror(-0.25) == 0.25; mirror(1.75) == 0.25.
         np.testing.assert_allclose(out[1], out[0], rtol=1e-5)
         np.testing.assert_allclose(out[2], out[0], rtol=1e-5)
+
+
+class TestFastPathsBitIdentical:
+    """The quad-packed texel table (qdata), the packed row metadata
+    (meta) and the all_raw shortcut are pure TPU-perf reshapes of the
+    same sampling; each must be bit-identical to the gather fallback."""
+
+    def _mixed_atlas(self, rng):
+        b = AtlasBuilder()
+        a = b.add_raw(rng.random((7, 5, 4)).astype(np.float32),
+                      wrap=REPEAT)
+        c = b.add_raw(rng.random((4, 9, 4)).astype(np.float32),
+                      wrap=CLAMP)
+        m = b.add_raw(rng.random((3, 3, 4)).astype(np.float32),
+                      wrap=MIRROR)
+        rows = [a, c, m,
+                b.add_blend(LIGHTEN, a, c),
+                b.add_blend(SUBTRACTION, c, m),
+                b.add_ycbcr(a, c),
+                b.add_fallback((0.2, 0.4, 0.6, 1.0), m)]
+        return b.build(), rows
+
+    def test_qdata_meta_match_gather(self, rng):
+        atlas, rows = self._mixed_atlas(rng)
+        assert atlas.qdata is not None and atlas.meta is not None
+        slow = atlas.replace(qdata=None, meta=None)
+        n = 256
+        ids = jnp.asarray(rng.integers(0, len(rows), n), jnp.int32)
+        uv = jnp.asarray(rng.uniform(-2, 3, (n, 2)).astype(np.float32))
+        fast = np.asarray(atlas.sample(ids, uv))
+        ref = np.asarray(slow.sample(ids, uv))
+        np.testing.assert_array_equal(fast, ref)
+
+    def test_all_raw_shortcut_matches(self, rng):
+        b = AtlasBuilder()
+        t0 = b.add_raw(rng.random((6, 6, 4)).astype(np.float32))
+        t1 = b.add_raw(rng.random((2, 8, 4)).astype(np.float32),
+                       wrap=CLAMP)
+        atlas = b.build()
+        assert atlas.all_raw
+        general = atlas.replace(all_raw=False)
+        n = 128
+        ids = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+        uv = jnp.asarray(rng.uniform(-1, 2, (n, 2)).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(atlas.sample(ids, uv)),
+                                      np.asarray(general.sample(ids, uv)))
