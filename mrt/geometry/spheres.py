@@ -190,7 +190,20 @@ def _use_pallas(kind="packet"):
 
 
 def intersect(spheres: Spheres, o, d, t_min, t_max) -> Hits:
-    if _use_pallas("brute"):
+    """Kernel selection: MRT_SPHERE_KERNEL=scan|pallas|x overrides; the
+    default is the XLA chunk scan everywhere (kernel comparison on v5e
+    pending in tools/profile_isect.py)."""
+    import os
+
+    kind = os.environ.get("MRT_SPHERE_KERNEL")
+    if kind is None:
+        kind = "pallas" if _use_pallas("brute") else "scan"
+    if kind == "x":
+        from ..ops import pallas_spheres
+
+        t, index = pallas_spheres.nearest_t_x(spheres, o, d, t_min,
+                                              t_max)
+    elif kind == "pallas":
         from ..ops import pallas_spheres
 
         t, index = pallas_spheres.nearest_t(spheres, o, d, t_min, t_max)

@@ -38,6 +38,53 @@ class TestPallasSpheres:
             same_idx = np.asarray(i_pal)[hit] == np.asarray(i_ref)[hit]
             assert same_idx.mean() > 0.99  # near-ties may swap
 
+    @pytest.mark.parametrize("n_spheres,n_rays", [(1, 64), (13, 1000),
+                                                  (484, 2048)])
+    def test_x_matches_scan_kernel(self, rng, n_spheres, n_rays):
+        # Expanded-form kernel: same half_b/c_term expressions as the
+        # scan, but FMA contraction differs between separately compiled
+        # programs; near-tangent hits amplify the disc ulp through
+        # sqrt, hence the same tolerance as the direct-form kernel.
+        spheres = _spheres(rng, n_spheres)
+        o = jnp.asarray(rng.uniform(-8, 8, (n_rays, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((n_rays, 3)).astype(np.float32))
+
+        t_ref, i_ref = S.nearest_t(spheres, o, d, 1e-3, jnp.inf)
+        t_pal, i_pal = PS.nearest_t_x(spheres, o, d, 1e-3, jnp.inf,
+                                      interpret=True)
+        hit = np.isfinite(np.asarray(t_ref))
+        np.testing.assert_array_equal(hit, np.isfinite(np.asarray(t_pal)))
+        np.testing.assert_allclose(np.asarray(t_pal)[hit],
+                                   np.asarray(t_ref)[hit], rtol=2e-3,
+                                   atol=1e-4)
+        if hit.any():
+            same_idx = np.asarray(i_pal)[hit] == np.asarray(i_ref)[hit]
+            assert same_idx.mean() > 0.99  # near-ties may swap
+
+    def test_x_t_range_and_per_ray_bounds(self, rng):
+        spheres = _spheres(rng, 16)
+        o = jnp.asarray(rng.uniform(-8, 8, (256, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((256, 3)).astype(np.float32))
+        t_ref, _ = S.nearest_t(spheres, o, d, 0.5, 4.0)
+        t_pal, _ = PS.nearest_t_x(spheres, o, d, 0.5, 4.0,
+                                  interpret=True)
+        m = np.isfinite(np.asarray(t_ref))
+        np.testing.assert_array_equal(m, np.isfinite(np.asarray(t_pal)))
+        np.testing.assert_allclose(np.asarray(t_pal)[m],
+                                   np.asarray(t_ref)[m], rtol=2e-3,
+                                   atol=1e-4)
+        # Per-ray t bounds (the alpha re-cast path passes arrays).
+        tmin = jnp.asarray(rng.uniform(0.1, 1.0, 256).astype(np.float32))
+        tmax = jnp.asarray(rng.uniform(2.0, 6.0, 256).astype(np.float32))
+        t_ref2, _ = S.nearest_t(spheres, o, d, 1e-3, tmax)
+        t_pal2, _ = PS.nearest_t_x(spheres, o, d, 1e-3, tmax,
+                                   interpret=True)
+        m2 = np.isfinite(np.asarray(t_ref2))
+        np.testing.assert_array_equal(m2, np.isfinite(np.asarray(t_pal2)))
+        np.testing.assert_allclose(np.asarray(t_pal2)[m2],
+                                   np.asarray(t_ref2)[m2], rtol=2e-3,
+                                   atol=1e-4)
+
     def test_t_range_respected(self, rng):
         spheres = _spheres(rng, 16)
         o = jnp.asarray(rng.uniform(-8, 8, (256, 3)).astype(np.float32))
