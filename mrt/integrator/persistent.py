@@ -328,11 +328,14 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         """Flush the next slab [flushed_q, flushed_q+slab) of `dest`
         into `film` when it is fully claimed (or the queue is done) and
         every live path has moved past it.  One contiguous
-        dynamic-slice add — no scatter touches the big film."""
+        dynamic-slice add — no scatter touches the big film.
+
+        Indexed state access: the megastep path appends a per-lane
+        pending accumulator to the tuple; positions 0-9 are shared."""
         if not big_mode:
             return state, film
-        (item, bounce, o, d, throughput, ray_id, next_work,
-         dest, flushed_q, prev_pdf) = state
+        item, next_work, dest, flushed_q = (state[0], state[6],
+                                            state[7], state[8])
         active = item < total
         q = jnp.clip(item, 0, total - 1) // samples
         min_live = jnp.min(jnp.where(active, q, _BIG))
@@ -354,8 +357,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
         film, dest = jax.lax.cond(can, do, lambda a: a, (film, dest))
         flushed_q = jnp.where(can, flushed_q + slab, flushed_q)
-        return (item, bounce, o, d, throughput, ray_id, next_work,
-                dest, flushed_q, prev_pdf), film
+        return state[:7] + (dest, flushed_q) + state[9:], film
 
     def finalize(state, film):
         """Drain every remaining slab (the unflushed window is at most
@@ -371,7 +373,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
 
 def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit,
-                neutral=None):
+                neutral=None, mega=False):
     """Initial claims honor the same slot-window gate as in-loop claims
     (`init_limit` = slots_eff*samples in big mode): lanes past the gate
     start idle and claim once flushing opens the window."""
@@ -382,7 +384,7 @@ def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit,
     if neutral is not None:
         o0 = jnp.where(take[:, None], o0, neutral[0])
         d0 = jnp.where(take[:, None], d0, neutral[1])
-    return (
+    state = (
         init_item,                                   # work item
         jnp.zeros((pool,), jnp.int32) + vzero_i,     # bounce
         o0, d0,
@@ -394,6 +396,11 @@ def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit,
         jnp.int32(0) + vzero_i,                      # flushed_q
         jnp.zeros((pool,), jnp.float32) + vzero_f,   # prev_pdf (MIS)
     )
+    if mega:
+        # Per-lane pending (radiance, bounce-count) accumulator: the
+        # megastep kernel deposits once per path death, not per step.
+        state = state + (jnp.zeros((pool, 4), jnp.float32) + vzero_f,)
+    return state
 
 
 def _pack_film(film_sum, depth_sum, npix_pad):
@@ -474,10 +481,10 @@ def render_samples_persistent(scene, camera, width, height, seed,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays"))
+                                   "sort_rays", "mega"))
 def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
                 samples, *, width, height, max_depth, pool, rr_depth,
-                slots=None, sort_rays=False):
+                slots=None, sort_rays=False, mega=False):
     (total, make_rays, step, maybe_flush, finalize, layout,
      neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
@@ -490,22 +497,48 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
     init_limit = (jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
                   if big_mode else _BIG)
     return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
-                        init_limit, neutral), film)
+                        init_limit, neutral, mega=bool(mega)), film)
+
+
+def _mega_block(scene, camera, seed, sample_start, samples, layout,
+                neutral, mega, *, width, height, max_depth, pool):
+    """run_block replacement backed by the fused Pallas step kernel."""
+    from ..ops import pallas_megastep as mk
+
+    slots_eff, slab, npix_pad, big_mode = layout
+
+    def run(st):
+        return mk.run_block(
+            scene, camera, st, width=width, height=height, seed=seed,
+            sample_start=sample_start, samples=samples,
+            max_depth=max_depth, pool=pool,
+            slots_eff=slots_eff if big_mode else npix_pad,
+            big_mode=big_mode, k_steps=FLUSH_STEPS, t_min=T_MIN,
+            neutral=neutral, interpret=(mega == "interpret"))
+
+    return run
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays"))
+                                   "sort_rays", "mega"))
 def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
                chunk_steps, *, width, height, max_depth, pool, rr_depth,
-               slots=None, sort_rays=False):
+               slots=None, sort_rays=False, mega=False):
     # chunk_steps is TRACED: the adaptive driver changes it per chunk
     # without recompiling (remote compiles cost minutes here).
-    total, _, step, maybe_flush, finalize, layout, _n = _build(
+    total, _, step, maybe_flush, finalize, layout, neutral = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots)
-    sorter = _make_sorter(scene, total) if sort_rays else None
-    run_block = _flush_block(step, sorter, int(sort_rays) or FLUSH_STEPS)
+    if mega:
+        run_block = _mega_block(scene, camera, seed, sample_start,
+                                samples, layout, neutral, mega,
+                                width=width, height=height,
+                                max_depth=max_depth, pool=pool)
+    else:
+        sorter = _make_sorter(scene, total) if sort_rays else None
+        run_block = _flush_block(step, sorter,
+                                 int(sort_rays) or FLUSH_STEPS)
 
     def cond(carry):
         i, st, film = carry
@@ -527,10 +560,10 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays"))
+                                   "sort_rays", "mega"))
 def _chunk_finalize(scene, camera, state, film, seed, sample_start,
                     samples, *, width, height, max_depth, pool,
-                    rr_depth, slots=None, sort_rays=False):
+                    rr_depth, slots=None, sort_rays=False, mega=False):
     total, _, _, _, finalize, layout, _n = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots)
@@ -546,11 +579,40 @@ CHUNK_TARGET_SECONDS = 10.0
 CHUNK_MAX_STEPS = 4096
 
 
+def _mega_enabled(scene, mega, *, rr_depth, sort_rays, pool, width,
+                  height, slots):
+    """Resolve the megastep flag: None = auto (kernel-capable scene on
+    TPU once AUTO_ON), True/"interpret" = forced, False = off."""
+    if mega is False:
+        return False
+    from ..ops import pallas_megastep as mk
+
+    npix = width * height
+    layout = _slots_for(npix, slots)
+    slots_eff, slab, npix_pad, big_mode = layout
+    rows = slots_eff if big_mode else npix_pad
+    ok = (mk.supports(scene, rr_depth=rr_depth, sort_rays=bool(sort_rays),
+                      sample_stride=1, pixel_offset=0, n_pixels=None,
+                      pool=pool)
+          and rows % 32 == 0 and npix < (1 << 23))
+    if not ok:
+        return False
+    if mega is None:
+        import os
+
+        from ..geometry.spheres import _on_tpu
+        flag = os.environ.get("MRT_MEGASTEP")
+        if flag == "1":
+            return True
+        return mk.AUTO_ON and _on_tpu()
+    return mega
+
+
 def render_samples_chunked(scene, camera, width, height, seed,
                            sample_start, samples, max_depth=MAX_DEPTH,
                            pool=POOL, film_sum=None, depth_sum=None,
                            rr_depth=None, chunk_steps=CHUNK_STEPS,
-                           slots=None, sort_rays=False):
+                           slots=None, sort_rays=False, mega=None):
     """Python-driven chunked dispatches (single-chip fast path).
 
     Identical results to `render_samples_persistent`; each dispatch is
@@ -565,9 +627,15 @@ def render_samples_chunked(scene, camera, width, height, seed,
     if depth_sum is None:
         depth_sum = jnp.zeros((npix,), jnp.int32)
 
+    mega = _mega_enabled(scene, mega, rr_depth=rr_depth,
+                         sort_rays=sort_rays, pool=pool, width=width,
+                         height=height, slots=slots)
+    if mega:
+        from ..ops import pallas_megastep as mk
+        scene = mk.with_sphere_bvh(scene)
     statics = dict(width=width, height=height, max_depth=max_depth,
                    pool=pool, rr_depth=rr_depth, slots=slots,
-                   sort_rays=sort_rays)
+                   sort_rays=sort_rays, mega=mega)
     state, film = _chunk_init(scene, camera, film_sum, depth_sum, seed,
                               sample_start, samples, **statics)
     steps = max(chunk_steps, FLUSH_STEPS)
