@@ -70,7 +70,7 @@ TAU = float(2.0 * np.pi)
 NEAR_ZERO_EPS = 1e-5           # math/vec.py NEAR_ZERO_EPS
 
 # Material type ids (materials/table.py) as exact f32 constants.
-_LAM, _METAL, _DIEL, _LIGHT = 0.0, 1.0, 2.0, 3.0
+_LAM, _METAL, _DIEL, _LIGHT, _SPEC = 0.0, 1.0, 2.0, 3.0, 5.0
 
 
 def _i32c(v):
@@ -359,15 +359,25 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
         is_met = mt == _METAL
         is_die = mt == _DIEL
         is_lit = mt == _LIGHT
+        is_spc = mt == _SPEC
+
+        # Specular: Fresnel-gated mirror else inner Lambertian
+        # (material.rs:352-383).
+        spx = jnp.where(refl_ch, rfx, lmx)
+        spy = jnp.where(refl_ch, rfy, lmy)
+        spz = jnp.where(refl_ch, rfz, lmz)
 
         sel3 = lambda m, xs, ys: tuple(jnp.where(m, x, y)
                                        for x, y in zip(xs, ys))
         ndir = sel3(is_lam, (lmx, lmy, lmz),
                     sel3(is_met, (mtx, mty, mtz),
-                         sel3(is_die, (dix, diy, diz), (nx, ny, nz))))
+                         sel3(is_die, (dix, diy, diz),
+                              sel3(is_spc, (spx, spy, spz),
+                                   (nx, ny, nz)))))
         one3 = (jnp.ones_like(al0),) * 3
-        att = sel3(is_die, one3, (al0, al1, al2))
-        scattered = hit & (is_lam | is_die | (is_met & metal_ok))
+        att = sel3(is_die | (is_spc & refl_ch), one3, (al0, al1, al2))
+        scattered = hit & (is_lam | is_die | is_spc
+                           | (is_met & metal_ok))
 
         # emission + background -> per-item accumulator
         emx = jnp.where(is_lit, e0, 0.0)
@@ -631,7 +641,7 @@ def supports(scene, *, rr_depth, sort_rays, sample_stride, pixel_offset,
         return False
     # Material classes the kernel implements.
     mt = np.asarray(scene.materials.mtype)
-    if not np.isin(mt, [0, 1, 2, 3, 7]).all():
+    if not np.isin(mt, [0, 1, 2, 3, 5, 7]).all():
         return False
     bg = scene.background
     if type(bg).__name__ not in ("SkyBackground", "SolidBackground"):

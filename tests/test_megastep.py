@@ -157,13 +157,15 @@ def test_megastep_emissive():
     rng = np.random.default_rng(3)
     mat = MaterialBuilder()
     sb = SceneBuilder(mat, SolidBackground.create((0.0, 0.0, 0.0)))
-    for i in range(70):
+    for i in range(72):
         p = rng.uniform(-4, 4, 3)
-        kind = i % 3
+        kind = i % 4
         if kind == 0:
             m = mat.lambertian(tuple(rng.uniform(0.2, 0.9, 3)))
         elif kind == 1:
             m = mat.metal(0.2, (0.8, 0.7, 0.6))
+        elif kind == 2:
+            m = mat.specular(1.5, tuple(rng.uniform(0.2, 0.9, 3)))
         else:
             m = mat.diffuse_light(tuple(rng.uniform(1.0, 4.0, 3)))
         sb.add_sphere(tuple(p), 0.4, m)
