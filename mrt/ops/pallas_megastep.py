@@ -166,7 +166,7 @@ def _prefix_lanes(mask_f32):
 def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
             o_in, d_in, tp_in, qsb_in, rid_in, acc_in, dest_in,
             o_out, d_out, tp_out, qsb_out, rid_out, acc_out, dest_out,
-            qs_out, base_ref, tbuf_ref,
+            qs_out, base_ref, tbuf_ref, sbuf_ref, dep_sem,
             *, n_nodes, k_steps, nblk, npix, width, slots_eff, big_mode,
             max_depth, bg_kind, s_pad):
     blk = pl.program_id(0)
@@ -429,6 +429,12 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
         tbuf_ref[0:LANE, 24:32] = v1_t
         tbuf_ref[0:LANE, 32:40] = v2_t
         tbuf_ref[0:LANE, 40:48] = v3_t
+        # Scalar-addressable copy: dynamic-indexed SCALAR loads come
+        # from SMEM (same rule that puts the BVH tables there); the
+        # vector-shaped deposit data is staged through one small DMA.
+        cp = pltpu.make_async_copy(tbuf_ref, sbuf_ref, dep_sem)
+        cp.start()
+        cp.wait()
 
         def drow(c, carry):
             anyd = jnp.sum(tbuf_ref[pl.ds(c, 1), 0:8]) > 0.0
@@ -436,17 +442,17 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
             @pl.when(anyd)
             def _deposit_row():
                 for r in range(BLOCK_ROWS):
-                    do = tbuf_ref[c, r] != 0.0
+                    do = sbuf_ref[c, r] != 0.0
 
                     @pl.when(do)
                     def _deposit_one():
-                        sl = tbuf_ref[c, 8 + r].astype(jnp.int32)
+                        sl = sbuf_ref[c, 8 + r].astype(jnp.int32)
                         row = _SHR(sl, 5)
                         sub = (sl & 31) * 4
-                        w0 = tbuf_ref[c, 16 + r]
-                        w1 = tbuf_ref[c, 24 + r]
-                        w2 = tbuf_ref[c, 32 + r]
-                        w3 = tbuf_ref[c, 40 + r]
+                        w0 = sbuf_ref[c, 16 + r]
+                        w1 = sbuf_ref[c, 24 + r]
+                        w2 = sbuf_ref[c, 32 + r]
+                        w3 = sbuf_ref[c, 40 + r]
                         vec = (jnp.where(lane_i == sub, w0, 0.0)
                                + jnp.where(lane_i == sub + 1, w1, 0.0)
                                + jnp.where(lane_i == sub + 2, w2, 0.0)
@@ -603,7 +609,9 @@ def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4, 11: 5,
                               12: 6},
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32),
-                        pltpu.VMEM((LANE, 48), jnp.float32)],
+                        pltpu.VMEM((LANE, 48), jnp.float32),
+                        pltpu.SMEM((LANE, 48), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc, dest2)
     return outs
