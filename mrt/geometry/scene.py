@@ -115,19 +115,35 @@ class Scene:
             # wavefront equivalent: test the winner, and re-cast failed
             # rays from just past the rejected hit — identical closest
             # semantics, since nothing valid exists before the winner.
+            # Each round is cond-gated on any ray actually failing: a
+            # skipped round is bit-identical to a where(redo=False)
+            # merge, and most steps have no cutout failures, so the
+            # gate drops the steady-state traversal count from
+            # 1+ALPHA_ROUNDS to ~1.  (Sampler draws trace identically
+            # in both branches; unused draws cost nothing.)
             for _ in range(self.ALPHA_ROUNDS):
                 keep = shade.alpha_test(self, hits.material, hits.uv,
                                         sampler)
                 redo = hits.hit & ~keep
-                t_min2 = jnp.where(redo, hits.t + 1e-4,
-                                   jnp.full_like(hits.t, t_min))
-                again = self._intersect_once(o, d, t_min2, t_max, sampler,
-                                             shading_aux=shading_aux)
-                hits = jax.tree.map(
-                    lambda new, old: jnp.where(
-                        redo.reshape(redo.shape + (1,) * (old.ndim - 1)),
-                        new, old),
-                    again, hits)
+
+                def recast(hits, redo=redo, sampler=sampler):
+                    t_min2 = jnp.where(redo, hits.t + 1e-4,
+                                       jnp.full_like(hits.t, t_min))
+                    again = self._intersect_once(
+                        o, d, t_min2, t_max, sampler,
+                        shading_aux=shading_aux)
+                    return jax.tree.map(
+                        lambda new, old: jnp.where(
+                            redo.reshape(redo.shape
+                                         + (1,) * (old.ndim - 1)),
+                            new, old),
+                        again, hits)
+
+                # (The sampler's Python draw counter advances while
+                # `recast` is traced — tracing happens exactly once, so
+                # downstream streams are identical to the ungated code.)
+                hits = jax.lax.cond(jnp.any(redo), recast,
+                                    lambda h: h, hits)
         return hits
 
     def _intersect_once(self, o, d, t_min, t_max, sampler,
