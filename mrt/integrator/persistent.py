@@ -423,11 +423,12 @@ def render_samples_persistent(scene, camera, width, height, seed,
                               film_sum=None, depth_sum=None,
                               pixel_offset=0, n_pixels=None,
                               sample_stride=1, rr_depth=None,
-                              slots=None, sort_rays=False):
+                              slots=None, sort_rays=False, mega=False):
     """Single device-side while_loop (for use inside jit/shard_map).
 
     Returns (film_sum (n_pixels,3), depth_sum (n_pixels,)) — pass them
-    back in to accumulate further passes.
+    back in to accumulate further passes.  `mega` must be resolved by
+    the caller (static; `pixel_offset` may be traced under shard_map).
     """
     npix = n_pixels if n_pixels is not None else width * height
     if film_sum is None:
@@ -458,14 +459,22 @@ def render_samples_persistent(scene, camera, width, height, seed,
         work_film = film  # untouched until the final add
         init_limit = _BIG
     state = _init_state(make_rays, pool, dest, vzero_f, vzero_i,
-                        init_limit, neutral)
+                        init_limit, neutral, mega=bool(mega))
 
     def cond(carry):
         state, film = carry
         return jnp.any(state[0] < total) | (state[6] < total)
 
-    sorter = _make_sorter(scene, total) if sort_rays else None
-    run_block = _flush_block(step, sorter, int(sort_rays) or FLUSH_STEPS)
+    if mega:
+        run_block = _mega_block(
+            scene, camera, seed, sample_start, samples, layout, neutral,
+            mega, width=width, height=height, max_depth=max_depth,
+            pool=pool, pixel_offset=pixel_offset, n_pixels=n_pixels,
+            sample_stride=sample_stride)
+    else:
+        sorter = _make_sorter(scene, total) if sort_rays else None
+        run_block = _flush_block(step, sorter,
+                                 int(sort_rays) or FLUSH_STEPS)
 
     def body(carry):
         state, film = carry
@@ -501,7 +510,8 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
 
 
 def _mega_block(scene, camera, seed, sample_start, samples, layout,
-                neutral, mega, *, width, height, max_depth, pool):
+                neutral, mega, *, width, height, max_depth, pool,
+                pixel_offset=0, n_pixels=None, sample_stride=1):
     """run_block replacement backed by the fused Pallas step kernel."""
     from ..ops import pallas_megastep as mk
 
@@ -514,7 +524,9 @@ def _mega_block(scene, camera, seed, sample_start, samples, layout,
             max_depth=max_depth, pool=pool,
             slots_eff=slots_eff if big_mode else npix_pad,
             big_mode=big_mode, k_steps=FLUSH_STEPS, t_min=T_MIN,
-            neutral=neutral, interpret=(mega == "interpret"))
+            neutral=neutral, pixel_offset=pixel_offset,
+            n_pixels=n_pixels, sample_stride=sample_stride,
+            interpret=(mega == "interpret"))
 
     return run
 
@@ -580,26 +592,30 @@ CHUNK_MAX_STEPS = 4096
 
 
 def _mega_enabled(scene, mega, *, rr_depth, sort_rays, pool, width,
-                  height, slots):
+                  height, slots, n_pixels=None):
     """Resolve the megastep flag: None = auto (kernel-capable scene on
     TPU once AUTO_ON), True/"interpret" = forced, False = off."""
     if mega is False:
         return False
     from ..ops import pallas_megastep as mk
 
-    npix = width * height
+    npix = n_pixels if n_pixels is not None else width * height
     layout = _slots_for(npix, slots)
     slots_eff, slab, npix_pad, big_mode = layout
     rows = slots_eff if big_mode else npix_pad
-    ok = (mk.supports(scene, rr_depth=rr_depth, sort_rays=bool(sort_rays),
-                      sample_stride=1, pixel_offset=0, n_pixels=None,
-                      pool=pool)
-          and rows % 32 == 0 and npix < (1 << 23))
+    ok = (mk.supports_static(scene, rr_depth=rr_depth,
+                             sort_rays=bool(sort_rays), pool=pool)
+          # global pixel ids must stay f32-exactly divisible (< 2^23)
+          and rows % 32 == 0 and width * height < (1 << 23))
     if not ok:
         return False
     if mega is None:
         import os
 
+        # Auto resolution inspects material values: concrete arrays
+        # only (callers under jit must force mega explicitly).
+        if not mk.mtypes_ok(scene):
+            return False
         from ..geometry.spheres import _on_tpu
         flag = os.environ.get("MRT_MEGASTEP")
         if flag == "1":

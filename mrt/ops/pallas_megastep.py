@@ -135,6 +135,14 @@ def _idiv(x, s_f, inv_s, s_i):
     return q
 
 
+def _sds(shape, dtype, vma):
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+
+
 def _cbrt(u):
     """cbrt for u in [0,1) via exp/log (Mosaic-safe), exact at 0."""
     v = jnp.exp(jnp.log(jnp.maximum(u, 1e-38)) * (1.0 / 3.0))
@@ -180,6 +188,8 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
     flushed_q = si_ref[3]
     seed = si_ref[4]
     sample_start = si_ref[5]
+    pixel_offset = si_ref[6]
+    stride = si_ref[7]
     samples_f = samples_i.astype(jnp.float32)
     inv_samples = 1.0 / samples_f
     qlim = jnp.minimum(jnp.int32(npix), flushed_q + jnp.int32(slots_eff))
@@ -486,8 +496,8 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
 
         # camera rays for taken claims (core/camera.py rays;
         # RNG: Sampler(seed, pixel + GOLD*sample, 0xC0FFEE) draw 0)
-        pix = jnp.where(takes, new_q, 0)
-        smp = sample_start + jnp.where(takes, new_s, 0)
+        pix = pixel_offset + jnp.where(takes, new_q, 0)
+        smp = sample_start + jnp.where(takes, new_s, 0) * stride
         rid_new = pix ^ (smp * _RIDM)
         jx, jy, du, dv = _draw4(pix + _GOLD * smp, _i32c(0xC0FFEE),
                                 seed, 0)
@@ -566,6 +576,14 @@ def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
     rows = o3.shape[1]
     nblk = rows // BLOCK_ROWS
     s_pad = sph.shape[1]
+    # Under shard_map pallas outputs must declare their varying mesh
+    # axes; the union of the inputs' is correct (state and scalars vary
+    # over both the tile and spp axes).  The sharded caller runs with
+    # check_vma=False (interpret-mode kernels don't propagate vma
+    # internally), so this is usually empty.
+    vma = frozenset()
+    for x in (si, sf, o3, d3, tp3, qsb, rid, acc, dest2):
+        vma = vma | frozenset(getattr(jax.typeof(x), "vma", ()))
     kernel = functools.partial(
         _kernel, n_nodes=n_nodes, k_steps=k_steps, nblk=nblk, npix=npix,
         width=width, slots_eff=slots_eff, big_mode=big_mode,
@@ -597,14 +615,14 @@ def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
             vspec3(4), dspec, smem((2,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(o3.shape, jnp.float32),
-            jax.ShapeDtypeStruct(d3.shape, jnp.float32),
-            jax.ShapeDtypeStruct(tp3.shape, jnp.float32),
-            jax.ShapeDtypeStruct(qsb.shape, jnp.int32),
-            jax.ShapeDtypeStruct(rid.shape, jnp.int32),
-            jax.ShapeDtypeStruct(acc.shape, jnp.float32),
-            jax.ShapeDtypeStruct(dest2.shape, jnp.float32),
-            jax.ShapeDtypeStruct((2,), jnp.int32),
+            _sds(o3.shape, jnp.float32, vma),
+            _sds(d3.shape, jnp.float32, vma),
+            _sds(tp3.shape, jnp.float32, vma),
+            _sds(qsb.shape, jnp.int32, vma),
+            _sds(rid.shape, jnp.int32, vma),
+            _sds(acc.shape, jnp.float32, vma),
+            _sds(dest2.shape, jnp.float32, vma),
+            _sds((2,), jnp.int32, vma),
         ],
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4, 11: 5,
                               12: 6},
@@ -627,9 +645,9 @@ def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
 AUTO_ON = False
 
 
-def supports(scene, *, rr_depth, sort_rays, sample_stride, pixel_offset,
-             n_pixels, pool):
-    """Static qualification: the scene/config the kernel covers."""
+def supports_static(scene, *, rr_depth, sort_rays, pool):
+    """Shape/structure-only qualification — safe to call on a traced
+    scene pytree (e.g. when a caller forces mega inside jit)."""
     import os
 
     if os.environ.get("MRT_MEGASTEP") == "0":
@@ -641,15 +659,9 @@ def supports(scene, *, rr_depth, sort_rays, sample_stride, pixel_offset,
             or scene.atlas is not None or scene.lights is not None
             or scene.has_mix or scene.needs_alpha):
         return False
-    if rr_depth is not None or sort_rays or sample_stride != 1:
-        return False
-    if pixel_offset != 0 or n_pixels is not None:
+    if rr_depth is not None or sort_rays:
         return False
     if pool % BLOCK != 0 or pool < 2 * BLOCK:
-        return False
-    # Material classes the kernel implements.
-    mt = np.asarray(scene.materials.mtype)
-    if not np.isin(mt, [0, 1, 2, 3, 5, 7]).all():
         return False
     bg = scene.background
     if type(bg).__name__ not in ("SkyBackground", "SolidBackground"):
@@ -667,12 +679,32 @@ def supports(scene, *, rr_depth, sort_rays, sample_stride, pixel_offset,
     return True
 
 
+def mtypes_ok(scene):
+    """Value check (concrete arrays only): every material row is a
+    class the kernel implements."""
+    mt = np.asarray(scene.materials.mtype)
+    return bool(np.isin(mt, [0, 1, 2, 3, 5, 7]).all())
+
+
+def supports(scene, *, rr_depth, sort_rays, pool):
+    """Full qualification (static + material values)."""
+    return (supports_static(scene, rr_depth=rr_depth,
+                            sort_rays=sort_rays, pool=pool)
+            and mtypes_ok(scene))
+
+
 def with_sphere_bvh(scene):
     """Attach a sphere BVH when the scene was built without one (e.g.
     the RTIOW scene constructs its Scene directly); the megakernel
     traverses packets over it.  Host-side build, call outside jit."""
     if scene.sphere_bvh is not None:
         return scene
+    import jax.core as _core
+
+    if isinstance(scene.spheres.center, _core.Tracer):
+        raise ValueError(
+            "megastep needs a sphere BVH and the scene is traced: call "
+            "pallas_megastep.with_sphere_bvh(scene) before jit")
     from ..geometry.bvh import build_over_spheres
 
     bvh, sph = build_over_spheres(scene.spheres)
@@ -687,17 +719,21 @@ def _bg_kind(scene):
 
 def run_block(scene, camera, state, *, width, height, seed,
               sample_start, samples, max_depth, pool, slots_eff,
-              big_mode, k_steps, t_min, neutral, interpret=False):
+              big_mode, k_steps, t_min, neutral, pixel_offset=0,
+              n_pixels=None, sample_stride=1, interpret=False):
     """Run k_steps persistent wavefront steps through the megakernel.
 
     `state` is the integrator's tuple (item, bounce, o, d, throughput,
     ray_id, next_work, dest, flushed_q, prev_pdf, acc); returns the
     same tuple.  Semantically equivalent to k_steps of
     integrator.persistent step() (same RNG streams, same claims; film
-    contributions are deposited per path death instead of per step)."""
+    contributions are deposited per path death instead of per step).
+    `pixel_offset`/`n_pixels`/`sample_stride` carry the shard_map tile
+    x spp sharding (parallel/render.py): work queues are local, camera
+    pixels global."""
     (item, bounce, o, d, tp, rid, next_work, dest, flushed_q, prev_pdf,
      acc) = state
-    npix = width * height
+    npix = n_pixels if n_pixels is not None else width * height
     samples_i = jnp.asarray(samples, jnp.int32)
     total = jnp.int32(npix) * samples_i
 
@@ -723,7 +759,8 @@ def run_block(scene, camera, state, *, width, height, seed,
                     jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
                     jnp.asarray(sample_start, jnp.uint32)
                        .astype(jnp.int32),
-                    jnp.int32(0), jnp.int32(0)])
+                    jnp.asarray(pixel_offset, jnp.int32),
+                    jnp.asarray(sample_stride, jnp.int32)])
     bg_kind, bg_c = _bg_kind(scene)
     cam = camera
     sf = jnp.concatenate([

@@ -119,7 +119,7 @@ def shard_film(film: Film, mesh) -> Film:
 
 def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
                    max_depth=wavefront.MAX_DEPTH, samples_per_pass=None,
-                   film=None, persistent=False):
+                   film=None, persistent=False, mega=False):
     """Progressive multi-device render (the multi-chip `runtime.render`).
 
     Returns the accumulated film (still row-sharded; arrays gather
@@ -131,9 +131,10 @@ def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
 
     pass_fn = (render_pass_sharded_persistent if persistent
                else render_pass_sharded)
+    extra = {"mega": mega} if persistent else {}
     jitted = jax.jit(
         partial(pass_fn, width=width, height=height,
-                max_depth=max_depth, mesh=mesh),
+                max_depth=max_depth, mesh=mesh, **extra),
         static_argnames=("samples",))
 
     chunk = samples_per_pass or spp
@@ -147,11 +148,13 @@ def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
 
 def render_pass_sharded_persistent(scene, camera, film: Film, seed,
                                    sample_start, *, width, height,
-                                   samples, max_depth, mesh, pool=None):
+                                   samples, max_depth, mesh, pool=None,
+                                   mega=False):
     """Multi-device ray-regeneration pass: each device's lane pool
     consumes its own (row-tile x sample-stride) work queue; the only
     collective is one psum of the spp-axis contribution deltas."""
-    from ..integrator.persistent import render_samples_persistent, POOL
+    from ..integrator.persistent import (render_samples_persistent,
+                                         POOL, _mega_enabled)
 
     n_tile = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
@@ -162,6 +165,13 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
     rows_per = height // n_tile
     my_samples = samples // n_spp
     pool = pool or POOL
+    # Resolve outside shard_map: inside, pixel_offset is traced.
+    mega = _mega_enabled(scene, mega, rr_depth=None, sort_rays=False,
+                         pool=pool, width=width, height=height,
+                         slots=None, n_pixels=rows_per * width)
+    if mega:
+        from ..ops import pallas_megastep as mk
+        scene = mk.with_sphere_bvh(scene)
 
     def shard_fn(scene, camera, film_sum, film_depth, film_samples):
         tile = jax.lax.axis_index(TILE_AXIS)
@@ -175,7 +185,7 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
             film_sum=fs_in, depth_sum=ds_in,
             pixel_offset=tile * rows_per * width,
             n_pixels=rows_per * width,
-            sample_stride=n_spp)
+            sample_stride=n_spp, mega=mega)
         # Each spp rank added its own samples on top of the shared base;
         # psum the deltas so the base isn't multiplied.
         fs = fs_in + jax.lax.psum(fs_out - fs_in, SPP_AXIS)
@@ -189,6 +199,10 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
         in_specs=(P(), P(), P(TILE_AXIS, None, None), P(TILE_AXIS, None),
                   P()),
         out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS, None), P()),
+        # The megastep kernel does not propagate varying-manual-axes
+        # typing through its interpret-mode body; fall back to the
+        # legacy auto-pbroadcast behavior for it.
+        check_vma=not mega,
     )
     new_sum, new_depth, new_samples = fn(
         scene, camera, film.sum, film.depth_sum, film.samples)

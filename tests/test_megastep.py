@@ -49,15 +49,12 @@ def _agree(a, b, frac=0.95, mean_tol=0.02):
 def test_supports_gate():
     scene, camera = _scene()
     assert mk.supports(scene, rr_depth=None, sort_rays=False,
-                       sample_stride=1, pixel_offset=0, n_pixels=None,
                        pool=2048)
     assert not mk.supports(scene, rr_depth=2, sort_rays=False,
-                           sample_stride=1, pixel_offset=0,
-                           n_pixels=None, pool=2048)
+                           pool=2048)
     cornell, _ = get("cornell")().generate()
     assert not mk.supports(cornell, rr_depth=None, sort_rays=False,
-                           sample_stride=1, pixel_offset=0,
-                           n_pixels=None, pool=2048)
+                           pool=2048)
 
 
 def test_draw4_matches_sampler():
@@ -145,6 +142,34 @@ def test_megastep_full_render_big_mode():
     _agree(got_sum, ref_sum)
     assert abs(int(got_depth.sum()) - int(ref_depth.sum())) <= (
         0.02 * int(ref_depth.sum()) + 8)
+
+
+@pytest.mark.parametrize("tile,spp", [(4, 2), (2, 4)])
+def test_megastep_sharded_matches(tile, spp):
+    """Megastep under shard_map (tile x spp mesh): local work queues,
+    global camera pixels, psum'd spp deltas — matches the XLA sharded
+    persistent pass up to FMA-noise path reroutes."""
+    from mrt.parallel.mesh import make_mesh
+    from mrt.parallel.render import (render_pass_sharded_persistent,
+                                     shard_film)
+    from mrt.runtime.film import Film
+    import jax
+
+    scene, camera = _scene()
+    mesh = make_mesh(tile=tile, spp=spp)
+    w = h = 16
+
+    def run(mega):
+        film = shard_film(Film.create(w, h), mesh)
+        fn = jax.jit(lambda s, c, f: render_pass_sharded_persistent(
+            s, c, f, 7, 0, width=w, height=h, samples=8, max_depth=6,
+            mesh=mesh, pool=2048, mega=mega))
+        return np.asarray(fn(scene, camera, film).sum)
+
+    ref = run(False)
+    got = run("interpret")
+    _agree(got.reshape(-1, 3), ref.reshape(-1, 3), frac=0.93,
+           mean_tol=0.03)
 
 
 def test_megastep_emissive():
