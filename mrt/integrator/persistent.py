@@ -470,7 +470,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
             scene, camera, seed, sample_start, samples, layout, neutral,
             mega, width=width, height=height, max_depth=max_depth,
             pool=pool, pixel_offset=pixel_offset, n_pixels=n_pixels,
-            sample_stride=sample_stride)
+            sample_stride=sample_stride, rr_depth=rr_depth)
     else:
         sorter = _make_sorter(scene, total) if sort_rays else None
         run_block = _flush_block(step, sorter,
@@ -511,7 +511,8 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
 
 def _mega_block(scene, camera, seed, sample_start, samples, layout,
                 neutral, mega, *, width, height, max_depth, pool,
-                pixel_offset=0, n_pixels=None, sample_stride=1):
+                pixel_offset=0, n_pixels=None, sample_stride=1,
+                rr_depth=None):
     """run_block replacement backed by the fused Pallas step kernel."""
     from ..ops import pallas_megastep as mk
 
@@ -526,7 +527,7 @@ def _mega_block(scene, camera, seed, sample_start, samples, layout,
             big_mode=big_mode, k_steps=FLUSH_STEPS, t_min=T_MIN,
             neutral=neutral, pixel_offset=pixel_offset,
             n_pixels=n_pixels, sample_stride=sample_stride,
-            interpret=(mega == "interpret"))
+            rr_depth=rr_depth, interpret=(mega == "interpret"))
 
     return run
 
@@ -546,7 +547,8 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
         run_block = _mega_block(scene, camera, seed, sample_start,
                                 samples, layout, neutral, mega,
                                 width=width, height=height,
-                                max_depth=max_depth, pool=pool)
+                                max_depth=max_depth, pool=pool,
+                                rr_depth=rr_depth)
     else:
         sorter = _make_sorter(scene, total) if sort_rays else None
         run_block = _flush_block(step, sorter,

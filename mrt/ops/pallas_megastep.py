@@ -12,10 +12,11 @@ claims with camera-ray regeneration, and the film deposit — and runs
 FLUSH_STEPS of them per launch with every per-lane state array resident
 on-chip.
 
-Scope (gated by `supports()`): sphere-only scenes with a sphere BVH and
-{Lambertian, Metal, Dielectric, DiffuseLight, Null} materials, solid or
-sky-gradient background, no atlas/Mix/volumes/NEE/RR — i.e. the RTIOW
-benchmark class.  Everything else stays on the XLA step.
+Scope (gated by `supports()`): sphere-only scenes with {Lambertian,
+Metal, Dielectric, DiffuseLight, Specular, Null} materials, solid or
+sky-gradient background, optional Russian roulette, single-chip or
+tile x spp sharded — no atlas/Mix/volumes/NEE.  Everything else stays
+on the XLA step.
 
 Reference semantics preserved (all the same file:line anchors as the
 XLA path): sphere root selection geom.rs:64-75, Lambertian
@@ -176,7 +177,7 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
             o_out, d_out, tp_out, qsb_out, rid_out, acc_out, dest_out,
             qs_out, base_ref, tbuf_ref, sbuf_ref, dep_sem,
             *, n_nodes, k_steps, nblk, npix, width, slots_eff, big_mode,
-            max_depth, bg_kind, s_pad):
+            max_depth, bg_kind, s_pad, rr_depth):
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -411,8 +412,25 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
         a2 = a2 + act_f * tz * radz
 
         scat = hit & scattered & active
-        a3 = a3 + scat.astype(jnp.float32)
         cont = scat & (bounce + 1 < max_depth)
+        at0, at1, at2 = att
+        if rr_depth is not None:
+            # Russian roulette (integrator/persistent.py step): applied
+            # to scat so bounce counts match the XLA integrator.
+            roll_u, _, _, _ = _draw4(rid, _i32c(1 << 29) + bounce, seed,
+                                     0)
+            tpn = jnp.maximum(jnp.maximum(tx * at0, ty * at1),
+                              tz * at2)
+            p_srv = jnp.clip(tpn, 0.05, 1.0)
+            roll = roll_u < p_srv
+            apply_rr = scat & (bounce >= rr_depth)
+            scat = scat & (~apply_rr | roll)
+            cont = cont & scat
+            inv_p = 1.0 / p_srv
+            at0 = jnp.where(apply_rr, at0 * inv_p, at0)
+            at1 = jnp.where(apply_rr, at1 * inv_p, at1)
+            at2 = jnp.where(apply_rr, at2 * inv_p, at2)
+        a3 = a3 + scat.astype(jnp.float32)
         die = active & ~cont
 
         # ---- film deposit: per-death predicated RMW into dest ----------
@@ -538,9 +556,9 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
         dx_ = pick(ndir[0], ndx, neut_d[0])
         dy_ = pick(ndir[1], ndy, neut_d[1])
         dz_ = pick(ndir[2], ndz, neut_d[2])
-        tx = jnp.where(cont, tx * att[0], jnp.where(takes, 1.0, tx))
-        ty = jnp.where(cont, ty * att[1], jnp.where(takes, 1.0, ty))
-        tz = jnp.where(cont, tz * att[2], jnp.where(takes, 1.0, tz))
+        tx = jnp.where(cont, tx * at0, jnp.where(takes, 1.0, tx))
+        ty = jnp.where(cont, ty * at1, jnp.where(takes, 1.0, ty))
+        tz = jnp.where(cont, tz * at2, jnp.where(takes, 1.0, tz))
         rid = jnp.where(cont, rid, jnp.where(takes, rid_new, rid))
         bounce = jnp.where(cont, bounce + 1, 0)
 
@@ -569,10 +587,11 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_nodes", "k_steps", "npix", "width", "slots_eff",
-                     "big_mode", "max_depth", "bg_kind", "interpret"))
+                     "big_mode", "max_depth", "bg_kind", "rr_depth",
+                     "interpret"))
 def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
             dest2, *, n_nodes, k_steps, npix, width, slots_eff, big_mode,
-            max_depth, bg_kind, interpret=False):
+            max_depth, bg_kind, rr_depth=None, interpret=False):
     rows = o3.shape[1]
     nblk = rows // BLOCK_ROWS
     s_pad = sph.shape[1]
@@ -587,7 +606,8 @@ def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
     kernel = functools.partial(
         _kernel, n_nodes=n_nodes, k_steps=k_steps, nblk=nblk, npix=npix,
         width=width, slots_eff=slots_eff, big_mode=big_mode,
-        max_depth=max_depth, bg_kind=bg_kind, s_pad=s_pad)
+        max_depth=max_depth, bg_kind=bg_kind, s_pad=s_pad,
+        rr_depth=rr_depth)
 
     grid = (nblk,)
     vspec3 = lambda nr: pl.BlockSpec((nr, BLOCK_ROWS, LANE),
@@ -659,7 +679,7 @@ def supports_static(scene, *, rr_depth, sort_rays, pool):
             or scene.atlas is not None or scene.lights is not None
             or scene.has_mix or scene.needs_alpha):
         return False
-    if rr_depth is not None or sort_rays:
+    if sort_rays:
         return False
     if pool % BLOCK != 0 or pool < 2 * BLOCK:
         return False
@@ -720,7 +740,8 @@ def _bg_kind(scene):
 def run_block(scene, camera, state, *, width, height, seed,
               sample_start, samples, max_depth, pool, slots_eff,
               big_mode, k_steps, t_min, neutral, pixel_offset=0,
-              n_pixels=None, sample_stride=1, interpret=False):
+              n_pixels=None, sample_stride=1, rr_depth=None,
+              interpret=False):
     """Run k_steps persistent wavefront steps through the megakernel.
 
     `state` is the integrator's tuple (item, bounce, o, d, throughput,
@@ -801,7 +822,7 @@ def run_block(scene, camera, state, *, width, height, seed,
         si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid2, acc3,
         dest2, n_nodes=m, k_steps=k_steps, npix=npix, width=width,
         slots_eff=slots_eff, big_mode=big_mode, max_depth=max_depth,
-        bg_kind=bg_kind, interpret=interpret)
+        bg_kind=bg_kind, rr_depth=rr_depth, interpret=interpret)
 
     def from3(x3, w=3):
         return x3.reshape(w, pool).T

@@ -50,8 +50,12 @@ def test_supports_gate():
     scene, camera = _scene()
     assert mk.supports(scene, rr_depth=None, sort_rays=False,
                        pool=2048)
-    assert not mk.supports(scene, rr_depth=2, sort_rays=False,
+    assert mk.supports(scene, rr_depth=2, sort_rays=False,
+                       pool=2048)  # RR is in-kernel
+    assert not mk.supports(scene, rr_depth=None, sort_rays=True,
                            pool=2048)
+    assert not mk.supports(scene, rr_depth=None, sort_rays=False,
+                           pool=1000)
     cornell, _ = get("cornell")().generate()
     assert not mk.supports(cornell, rr_depth=None, sort_rays=False,
                            pool=2048)
@@ -200,3 +204,19 @@ def test_megastep_emissive():
     ref_sum, _ = _render(scene, camera, w, h, mega=False)
     got_sum, _ = _render(scene, camera, w, h, mega="interpret")
     _agree(got_sum, ref_sum)
+
+
+def test_megastep_rr():
+    """Russian roulette: same draws, reweighting, and bounce counts as
+    the XLA persistent step."""
+    scene, camera = _scene()
+    w, h = 64, 32
+    ref_sum, ref_depth = render_samples_chunked(
+        scene, camera, w, h, seed=1, sample_start=0, samples=2,
+        max_depth=8, pool=2048, rr_depth=2, mega=False)
+    got_sum, got_depth = render_samples_chunked(
+        scene, camera, w, h, seed=1, sample_start=0, samples=2,
+        max_depth=8, pool=2048, rr_depth=2, mega="interpret")
+    _agree(got_sum, ref_sum)
+    assert abs(int(got_depth.sum()) - int(ref_depth.sum())) <= (
+        0.02 * int(ref_depth.sum()) + 8)
