@@ -82,6 +82,8 @@ def _slots_for(npix, slots):
         # Small mode: the accumulator IS the (padded) film slice.
         pad = -npix % 8
         return npix + pad, npix + pad, npix + pad, False
+    # Big-mode slot indexing is `q & (slots-1)`: power of two required.
+    assert slots & (slots - 1) == 0, f"slots {slots} not a power of 2"
     slab = max(slots // SLABS, 8)
     npix_pad = -(-npix // slab) * slab
     return slots, slab, npix_pad, True
