@@ -323,7 +323,10 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
         phi = TAU * u2
         cphi, sphi = jnp.cos(phi), jnp.sin(phi)
         rux, ruy, ruz = rc * cphi, rc * sphi, zc
-        ball = jnp.cbrt(u3)  # bit-match sampling.in_unit_sphere
+        # cbrt is unimplemented in Mosaic; exp/log matches within ulps
+        # (exact at 0).  sampling.in_unit_sphere uses jnp.cbrt — the
+        # ulp difference only perturbs metal-fuzz directions.
+        ball = _cbrt(u3)
         usx, usy, usz = rux * ball, ruy * ball, ruz * ball
 
         dlen = jnp.sqrt(a)
