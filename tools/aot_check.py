@@ -1,0 +1,106 @@
+"""AOT compile-check TPU programs WITHOUT a TPU (no tunnel needed).
+
+libtpu is installed locally, so an unattached v5e topology client can
+run the FULL XLA+Mosaic compile pipeline (including Pallas kernel
+compilation and VMEM allocation) on this host:
+
+    TPU_ACCELERATOR_TYPE=v5litepod-4 TPU_WORKER_HOSTNAMES=localhost \
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python tools/aot_check.py
+
+Catches unimplemented Mosaic primitives, layout errors, and VMEM
+overflows before ever touching the axon tunnel.  (Found this way:
+jnp.cbrt unimplemented in the megastep kernel.)
+
+Notes:
+  - avals must carry a sharding on a ONE-device topology mesh, or XLA
+    tries to auto-partition the Mosaic call and refuses.
+  - compile only; no execution/timing.
+"""
+import os
+import sys
+
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-4")
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    mesh = Mesh(np.array(topo.devices[:1]), ("d",))
+    rep = NamedSharding(mesh, P())
+
+    def shaped(tree):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                jnp.shape(x), jnp.asarray(x).dtype, sharding=rep), tree)
+
+    from mrt.scenes import get
+    from mrt.ops import pallas_megastep as mk
+    import mrt.integrator.persistent as PP
+
+    scene, camera = get("rtiow")(aspect_ratio=16 / 9).generate()
+    scene = mk.with_sphere_bvh(scene)
+    w, h, samples, pool, depth = 1920, 1080, 8, 1 << 16, 50
+
+    (total, make_rays, step, maybe_flush, finalize, layout,
+     neutral) = PP._build(scene, camera, w, h, 1, 0, samples, depth,
+                          pool, 0, None, 1, None, None)
+    slots_eff, slab, npix_pad, big_mode = layout
+    dest = jnp.zeros((slots_eff if big_mode else npix_pad, 4),
+                     jnp.float32)
+    state = PP._init_state(make_rays, pool, dest, jnp.float32(0),
+                           jnp.int32(0),
+                           jnp.int32(slots_eff) * samples, neutral,
+                           mega=True)
+
+    checks = []
+
+    def blk(st):
+        return mk.run_block(
+            scene, camera, st, width=w, height=h, seed=1,
+            sample_start=0, samples=samples, max_depth=depth, pool=pool,
+            slots_eff=slots_eff, big_mode=big_mode, k_steps=8,
+            t_min=PP.T_MIN, neutral=neutral)
+
+    checks.append(("megastep block 1080p pool 2^16",
+                   blk, (shaped(state),)))
+
+    def chunk(st, film):
+        return PP._chunk_run(scene, camera, st, film, 1, 0, samples,
+                             jnp.int32(64), width=w, height=h,
+                             max_depth=depth, pool=pool, rr_depth=None,
+                             mega=True)
+
+    st0, film0 = PP._chunk_init(
+        scene, camera, jnp.zeros((w * h, 3)),
+        jnp.zeros((w * h,), jnp.int32), 1, 0, samples, width=w,
+        height=h, max_depth=depth, pool=pool, rr_depth=None, mega=True)
+    checks.append(("mega chunk driver (while_loop + flush)",
+                   chunk, (shaped(st0), shaped(film0))))
+
+    failures = 0
+    for name, fn, avals in checks:
+        try:
+            comp = jax.jit(fn).lower(*avals).compile()
+            mem = comp.memory_analysis()
+            extra = ""
+            if mem is not None:
+                extra = (f"  temp={mem.temp_size_in_bytes/1e6:.1f}MB"
+                         f" argout={mem.output_size_in_bytes/1e6:.1f}MB")
+            print(f"OK   {name}{extra}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL {name}: {type(e).__name__}: "
+                  f"{str(e)[:500]}", flush=True)
+    print("aot_check:", "FAILED" if failures else "OK", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
