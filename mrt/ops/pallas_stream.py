@@ -62,9 +62,14 @@ MAX_SLOTS = 8
 # scenes are the incoherent-instanced ones where the shared per-packet
 # cursor pays the union of subtree visits; smaller packets keep the
 # union tight (hardware A/B in tools/probe_menger_block.py).
+# Floor 8: Mosaic requires the sublane block dim divisible by 8
+# (verified via tools/aot_check.py — rows<8 fails TPU compilation), so
+# 1024 lanes is the smallest packet this layout supports; sub-1024
+# packets would need multiple cursors per program instead.
 import os as _os
 
-STREAM_BLOCK_ROWS = int(_os.environ.get("MRT_STREAM_BLOCK_ROWS", "8"))
+STREAM_BLOCK_ROWS = max(8, int(_os.environ.get("MRT_STREAM_BLOCK_ROWS",
+                                               "8")))
 
 
 def _row_pad(rows):

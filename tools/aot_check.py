@@ -84,6 +84,30 @@ def main():
     checks.append(("mega chunk driver (while_loop + flush)",
                    chunk, (shaped(st0), shaped(film0))))
 
+    if "--zoo" in sys.argv:
+        # One persistent step per zoo scene at preview shape, through
+        # the REAL TPU kernel selection (packet/streamed kernels).
+        import mrt.geometry.spheres as sph_mod
+
+        sph_mod._use_pallas = lambda kind="packet": True  # force TPU path
+        wz, hz, sz = 480, 270, 4
+        for sname in ("sphere_grid", "lucy", "eve", "menger"):
+            if sname == "menger":
+                from mrt.scenes.menger import Menger
+                sc, cam2 = Menger(level=5, bake=2).generate()
+            else:
+                sc, cam2 = get(sname)().generate()
+            (t2, mr2, step2, mf2, fin2, lay2, n2) = PP._build(
+                sc, cam2, wz, hz, 1, 0, sz, 16, 1 << 14, 0, None, 1,
+                None, None)
+            se2, sl2, np2, bm2 = lay2
+            d2 = jnp.zeros((se2 if bm2 else np2, 4), jnp.float32)
+            s2 = PP._init_state(mr2, 1 << 14, d2, jnp.float32(0),
+                                jnp.int32(0), PP._BIG, n2)
+            checks.append((f"zoo step: {sname}",
+                           (lambda st, stp=step2: stp(st)),
+                           (shaped(s2),)))
+
     failures = 0
     for name, fn, avals in checks:
         try:
