@@ -121,7 +121,7 @@ def _make_sorter(scene, total):
 
     def sort_lanes(state):
         (item, bounce, o, d, throughput, ray_id, next_work,
-         dest, flushed_q, prev_pdf) = state
+         dest, flushed_q, prev_pdf, *rest) = state
         active = item < total
         # Direction cell: 4 bits/axis on the (unnormalised-safe)
         # component signs+magnitudes; interleaved -> 12 bits.
@@ -135,7 +135,8 @@ def _make_sorter(scene, total):
         perm = jnp.argsort(key)
         g = lambda a: jnp.take(a, perm, axis=0)
         return (g(item), g(bounce), g(o), g(d), g(throughput), g(ray_id),
-                next_work, dest, flushed_q, g(prev_pdf))
+                next_work, dest, flushed_q, g(prev_pdf),
+                *(g(r) for r in rest))  # pending accumulator (lane data)
 
     return sort_lanes
 
@@ -166,7 +167,7 @@ def _flush_block(step, sorter, cadence):
 
 def _build(scene, camera, width, height, seed, sample_start, samples,
            max_depth, pool, pixel_offset, n_pixels, sample_stride,
-           rr_depth, slots=None):
+           rr_depth, slots=None, pend=False):
     """Returns (total, make_rays, step, layout) for the wavefront.
 
     Work items are PIXEL-MAJOR: item -> (pixel = item // samples,
@@ -216,7 +217,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
     def step(state):
         (item, bounce, o, d, throughput, ray_id, next_work,
-         dest, flushed_q, prev_pdf) = state
+         dest, flushed_q, prev_pdf, *rest) = state
         active = item < total
         q = jnp.clip(item, 0, total - 1) // samples  # local pixel index
 
@@ -283,12 +284,29 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
             atten = jnp.where(apply_rr[:, None],
                               atten / p_survive[:, None], atten)
 
-        # Single packed scatter: radiance (3) + depth count (1) — into
-        # the SMALL slot accumulator, never the full film (the in-loop
+        # Film contribution: radiance (3) + depth count (1) — into the
+        # SMALL slot accumulator, never the full film (the in-loop
         # scatter cost scales with the carried destination size).
         slot = q & jnp.int32(slots_eff - 1) if big_mode else q
-        dest = dest.at[slot].add(jnp.concatenate(
-            [radiance_add, scat.astype(jnp.float32)[:, None]], axis=-1))
+        contrib = jnp.concatenate(
+            [radiance_add, scat.astype(jnp.float32)[:, None]], axis=-1)
+        if pend:
+            # Per-lane pending accumulator + predicated deposit kernel:
+            # only dying lanes touch dest (~pool/avg_depth rows) instead
+            # of a pool-row serial scatter every step.
+            from ..ops import pallas_deposit
+
+            acc = rest[0] + contrib
+        else:
+            dest = dest.at[slot].add(contrib)
+
+        if pend:
+            from ..ops import pallas_deposit
+
+            dep = active & ~cont
+            dest = pallas_deposit.deposit_add(
+                dest, slot, acc, dep, interpret=(pend == "interpret"))
+            acc = jnp.where(dep[:, None], 0.0, acc)
 
         # Regenerate dead lanes from the queue, gated so no claimed
         # pixel runs SLOTS ahead of the flush frontier (slot-reuse
@@ -323,8 +341,11 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         bounce = jnp.where(cont, b + 1, 0)
         prev_pdf = jnp.where(cont, next_pdf, 0.0)
 
-        return (item, bounce, o, d, throughput, ray_id, next_work,
-                dest, flushed_q, prev_pdf)
+        out = (item, bounce, o, d, throughput, ray_id, next_work,
+               dest, flushed_q, prev_pdf)
+        if pend:
+            out = out + (acc,)
+        return out
 
     def maybe_flush(state, film):
         """Flush the next slab [flushed_q, flushed_q+slab) of `dest`
@@ -492,10 +513,10 @@ def render_samples_persistent(scene, camera, width, height, seed,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "mega"))
+                                   "sort_rays", "mega", "pend"))
 def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
                 samples, *, width, height, max_depth, pool, rr_depth,
-                slots=None, sort_rays=False, mega=False):
+                slots=None, sort_rays=False, mega=False, pend=False):
     (total, make_rays, step, maybe_flush, finalize, layout,
      neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
@@ -508,7 +529,8 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
     init_limit = (jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
                   if big_mode else _BIG)
     return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
-                        init_limit, neutral, mega=bool(mega)), film)
+                        init_limit, neutral,
+                        mega=bool(mega) or bool(pend)), film)
 
 
 def _mega_block(scene, camera, seed, sample_start, samples, layout,
@@ -536,15 +558,15 @@ def _mega_block(scene, camera, seed, sample_start, samples, layout,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "mega"))
+                                   "sort_rays", "mega", "pend"))
 def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
                chunk_steps, *, width, height, max_depth, pool, rr_depth,
-               slots=None, sort_rays=False, mega=False):
+               slots=None, sort_rays=False, mega=False, pend=False):
     # chunk_steps is TRACED: the adaptive driver changes it per chunk
     # without recompiling (remote compiles cost minutes here).
     total, _, step, maybe_flush, finalize, layout, neutral = _build(
         scene, camera, width, height, seed, sample_start, samples,
-        max_depth, pool, 0, None, 1, rr_depth, slots)
+        max_depth, pool, 0, None, 1, rr_depth, slots, pend=pend)
     if mega:
         run_block = _mega_block(scene, camera, seed, sample_start,
                                 samples, layout, neutral, mega,
@@ -576,10 +598,11 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "mega"))
+                                   "sort_rays", "mega", "pend"))
 def _chunk_finalize(scene, camera, state, film, seed, sample_start,
                     samples, *, width, height, max_depth, pool,
-                    rr_depth, slots=None, sort_rays=False, mega=False):
+                    rr_depth, slots=None, sort_rays=False, mega=False,
+                    pend=False):
     total, _, _, _, finalize, layout, _n = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots)
@@ -628,11 +651,43 @@ def _mega_enabled(scene, mega, *, rr_depth, sort_rays, pool, width,
     return mega
 
 
+def _pend_enabled(pend, *, mega, pool, width, height, slots):
+    """Resolve the pending-deposit film mode: None = auto (off until
+    hardware-validated; MRT_FILM_PEND=1 forces on TPU), exclusive with
+    the megastep (which deposits in-kernel)."""
+    if mega or pend is False:
+        return False
+    from ..ops import pallas_deposit as pd
+
+    npix = width * height
+    slots_eff, slab, npix_pad, big_mode = _slots_for(npix, slots)
+    rows = slots_eff if big_mode else npix_pad
+    if not pd.usable(pool, rows):
+        return False
+    if pend is None:
+        import os
+
+        from ..geometry.spheres import _on_tpu
+        flag = os.environ.get("MRT_FILM_PEND")
+        if flag == "1":
+            return True
+        if flag == "0":
+            return False
+        return PEND_AUTO_ON and _on_tpu()
+    return pend
+
+
+# Flip after hardware timing shows the predicated deposit kernel beats
+# the XLA pool-row scatter (tools/probe_deposit.py).
+PEND_AUTO_ON = False
+
+
 def render_samples_chunked(scene, camera, width, height, seed,
                            sample_start, samples, max_depth=MAX_DEPTH,
                            pool=POOL, film_sum=None, depth_sum=None,
                            rr_depth=None, chunk_steps=CHUNK_STEPS,
-                           slots=None, sort_rays=False, mega=None):
+                           slots=None, sort_rays=False, mega=None,
+                           pend=None):
     """Python-driven chunked dispatches (single-chip fast path).
 
     Identical results to `render_samples_persistent`; each dispatch is
@@ -653,9 +708,11 @@ def render_samples_chunked(scene, camera, width, height, seed,
     if mega:
         from ..ops import pallas_megastep as mk
         scene = mk.with_sphere_bvh(scene)
+    pend = _pend_enabled(pend, mega=mega, pool=pool, width=width,
+                         height=height, slots=slots)
     statics = dict(width=width, height=height, max_depth=max_depth,
                    pool=pool, rr_depth=rr_depth, slots=slots,
-                   sort_rays=sort_rays, mega=mega)
+                   sort_rays=sort_rays, mega=mega, pend=pend)
     state, film = _chunk_init(scene, camera, film_sum, depth_sum, seed,
                               sample_start, samples, **statics)
     steps = max(chunk_steps, FLUSH_STEPS)

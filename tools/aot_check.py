@@ -84,6 +84,19 @@ def main():
     checks.append(("mega chunk driver (while_loop + flush)",
                    chunk, (shaped(st0), shaped(film0))))
 
+    def pend_chunk(st, film):
+        return PP._chunk_run(scene, camera, st, film, 1, 0, samples,
+                             jnp.int32(64), width=w, height=h,
+                             max_depth=depth, pool=pool, rr_depth=None,
+                             pend=True)
+
+    stp, filmp = PP._chunk_init(
+        scene, camera, jnp.zeros((w * h, 3)),
+        jnp.zeros((w * h,), jnp.int32), 1, 0, samples, width=w,
+        height=h, max_depth=depth, pool=pool, rr_depth=None, pend=True)
+    checks.append(("pend-deposit chunk driver",
+                   pend_chunk, (shaped(stp), shaped(filmp))))
+
     if "--zoo" in sys.argv:
         # One persistent step per zoo scene at preview shape, through
         # the REAL TPU kernel selection (packet/streamed kernels).
