@@ -446,12 +446,14 @@ def render_samples_persistent(scene, camera, width, height, seed,
                               film_sum=None, depth_sum=None,
                               pixel_offset=0, n_pixels=None,
                               sample_stride=1, rr_depth=None,
-                              slots=None, sort_rays=False, mega=False):
+                              slots=None, sort_rays=False, mega=False,
+                              pend=False):
     """Single device-side while_loop (for use inside jit/shard_map).
 
     Returns (film_sum (n_pixels,3), depth_sum (n_pixels,)) — pass them
-    back in to accumulate further passes.  `mega` must be resolved by
-    the caller (static; `pixel_offset` may be traced under shard_map).
+    back in to accumulate further passes.  `mega`/`pend` must be
+    resolved by the caller (static; `pixel_offset` may be traced under
+    shard_map).
     """
     npix = n_pixels if n_pixels is not None else width * height
     if film_sum is None:
@@ -465,11 +467,12 @@ def render_samples_persistent(scene, camera, width, height, seed,
                + jnp.asarray(sample_start, jnp.float32) * 0.0)
     vzero_i = vzero_f.astype(jnp.int32)
 
+    pend = False if mega else pend
     (total, make_rays, step, maybe_flush, finalize, layout,
      neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, pixel_offset, n_pixels, sample_stride, rr_depth,
-        slots)
+        slots, pend=pend)
     slots_eff, slab, npix_pad, big_mode = layout
 
     film = _pack_film(film_sum, depth_sum, npix_pad) + vzero_f
@@ -482,7 +485,8 @@ def render_samples_persistent(scene, camera, width, height, seed,
         work_film = film  # untouched until the final add
         init_limit = _BIG
     state = _init_state(make_rays, pool, dest, vzero_f, vzero_i,
-                        init_limit, neutral, mega=bool(mega))
+                        init_limit, neutral,
+                        mega=bool(mega) or bool(pend))
 
     def cond(carry):
         state, film = carry

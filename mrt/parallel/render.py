@@ -149,12 +149,13 @@ def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
 def render_pass_sharded_persistent(scene, camera, film: Film, seed,
                                    sample_start, *, width, height,
                                    samples, max_depth, mesh, pool=None,
-                                   mega=False):
+                                   mega=False, pend=False):
     """Multi-device ray-regeneration pass: each device's lane pool
     consumes its own (row-tile x sample-stride) work queue; the only
     collective is one psum of the spp-axis contribution deltas."""
     from ..integrator.persistent import (render_samples_persistent,
-                                         POOL, _mega_enabled)
+                                         POOL, _mega_enabled,
+                                         _pend_enabled)
 
     n_tile = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
@@ -172,6 +173,14 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
     if mega:
         from ..ops import pallas_megastep as mk
         scene = mk.with_sphere_bvh(scene)
+    pend = _pend_enabled(pend, mega=mega, pool=pool, width=width,
+                         height=height, slots=None)
+    # n_pixels layout differs per shard; re-gate on the local shape.
+    if pend:
+        from ..ops import pallas_deposit as pd
+        from ..integrator.persistent import _slots_for
+        se, sl, npad, bm = _slots_for(rows_per * width, None)
+        pend = pd.usable(pool, se if bm else npad) and pend
 
     def shard_fn(scene, camera, film_sum, film_depth, film_samples):
         tile = jax.lax.axis_index(TILE_AXIS)
@@ -185,7 +194,7 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
             film_sum=fs_in, depth_sum=ds_in,
             pixel_offset=tile * rows_per * width,
             n_pixels=rows_per * width,
-            sample_stride=n_spp, mega=mega)
+            sample_stride=n_spp, mega=mega, pend=pend)
         # Each spp rank added its own samples on top of the shared base;
         # psum the deltas so the base isn't multiplied.
         fs = fs_in + jax.lax.psum(fs_out - fs_in, SPP_AXIS)
@@ -199,10 +208,10 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
         in_specs=(P(), P(), P(TILE_AXIS, None, None), P(TILE_AXIS, None),
                   P()),
         out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS, None), P()),
-        # The megastep kernel does not propagate varying-manual-axes
-        # typing through its interpret-mode body; fall back to the
-        # legacy auto-pbroadcast behavior for it.
-        check_vma=not mega,
+        # Pallas kernels don't propagate varying-manual-axes typing
+        # through interpret-mode bodies; fall back to the legacy
+        # auto-pbroadcast behavior when one is in the graph.
+        check_vma=not (mega or pend),
     )
     new_sum, new_depth, new_samples = fn(
         scene, camera, film.sum, film.depth_sum, film.samples)

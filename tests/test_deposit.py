@@ -49,3 +49,26 @@ def test_pend_rr():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got_depth),
                                   np.asarray(ref_depth))
+
+
+def test_pend_sharded_matches():
+    from mrt.parallel.mesh import make_mesh
+    from mrt.parallel.render import (render_pass_sharded_persistent,
+                                     shard_film)
+    from mrt.runtime.film import Film
+    import jax
+
+    scene, camera = get("rtiow")(aspect_ratio=1.0).generate()
+    mesh = make_mesh(tile=4, spp=2)
+    w = h = 16
+
+    def run(pend):
+        film = shard_film(Film.create(w, h), mesh)
+        fn = jax.jit(lambda s, c, f: render_pass_sharded_persistent(
+            s, c, f, 7, 0, width=w, height=h, samples=8, max_depth=6,
+            mesh=mesh, pool=2048, pend=pend))
+        return np.asarray(fn(scene, camera, film).sum)
+
+    ref = run(False)
+    got = run("interpret")
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
