@@ -177,7 +177,7 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
             o_out, d_out, tp_out, qsb_out, rid_out, acc_out, dest_out,
             qs_out, base_ref, tbuf_ref, sbuf_ref, dep_sem,
             *, n_nodes, k_steps, nblk, npix, width, slots_eff, big_mode,
-            max_depth, bg_kind, s_pad, rr_depth):
+            max_depth, bg_kind, s_pad, rr_depth, ablate=None):
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -444,6 +444,8 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
         slot = jnp.where(die, slot, 0)
         dep = die & ((a0 != 0.0) | (a1 != 0.0) | (a2 != 0.0)
                      | (a3 != 0.0))
+        if ablate == "nodep":  # timing ablation: skip the deposit RMW
+            dep = dep & (a3 < 0.0)
         # Transpose to (128, 8): lane index becomes the (dynamic-ok)
         # sublane index; the 8-wide minor dim is statically unrolled.
         dep_t = jnp.transpose(dep.astype(jnp.float32), (1, 0))
@@ -591,10 +593,11 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
     jax.jit,
     static_argnames=("n_nodes", "k_steps", "npix", "width", "slots_eff",
                      "big_mode", "max_depth", "bg_kind", "rr_depth",
-                     "interpret"))
+                     "ablate", "interpret"))
 def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
             dest2, *, n_nodes, k_steps, npix, width, slots_eff, big_mode,
-            max_depth, bg_kind, rr_depth=None, interpret=False):
+            max_depth, bg_kind, rr_depth=None, ablate=None,
+            interpret=False):
     rows = o3.shape[1]
     nblk = rows // BLOCK_ROWS
     s_pad = sph.shape[1]
@@ -610,7 +613,7 @@ def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
         _kernel, n_nodes=n_nodes, k_steps=k_steps, nblk=nblk, npix=npix,
         width=width, slots_eff=slots_eff, big_mode=big_mode,
         max_depth=max_depth, bg_kind=bg_kind, s_pad=s_pad,
-        rr_depth=rr_depth)
+        rr_depth=rr_depth, ablate=ablate)
 
     grid = (nblk,)
     vspec3 = lambda nr: pl.BlockSpec((nr, BLOCK_ROWS, LANE),
@@ -744,7 +747,7 @@ def run_block(scene, camera, state, *, width, height, seed,
               sample_start, samples, max_depth, pool, slots_eff,
               big_mode, k_steps, t_min, neutral, pixel_offset=0,
               n_pixels=None, sample_stride=1, rr_depth=None,
-              interpret=False):
+              ablate=None, interpret=False):
     """Run k_steps persistent wavefront steps through the megakernel.
 
     `state` is the integrator's tuple (item, bounce, o, d, throughput,
@@ -825,7 +828,8 @@ def run_block(scene, camera, state, *, width, height, seed,
         si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid2, acc3,
         dest2, n_nodes=m, k_steps=k_steps, npix=npix, width=width,
         slots_eff=slots_eff, big_mode=big_mode, max_depth=max_depth,
-        bg_kind=bg_kind, rr_depth=rr_depth, interpret=interpret)
+        bg_kind=bg_kind, rr_depth=rr_depth, ablate=ablate,
+        interpret=interpret)
 
     def from3(x3, w=3):
         return x3.reshape(w, pool).T

@@ -49,16 +49,18 @@ def main():
         st10 = jax.lax.fori_loop(0, K, lambda i, s: step(s), st10)
         return st10
 
-    def mega_block(st):
+    def mega_block(st, ablate=None):
         return mk.run_block(
             scene_b, camera, st, width=w, height=h, seed=seed,
             sample_start=sample_start, samples=samples, max_depth=depth,
             pool=POOL, slots_eff=slots_eff, big_mode=big_mode,
-            k_steps=K, t_min=P.T_MIN, neutral=neutral)
+            k_steps=K, t_min=P.T_MIN, neutral=neutral, ablate=ablate)
 
     mega_block_j = jax.jit(mega_block)
+    mega_nodep = jax.jit(lambda st: mega_block(st, ablate="nodep"))
 
-    for name, fn in (("xla", xla_block), ("mega", mega_block_j)):
+    for name, fn in (("xla", xla_block), ("mega", mega_block_j),
+                     ("mega-nodep", mega_nodep)):
         st = jax.block_until_ready(fn(state))
         reps = 8
         t0 = time.time()
