@@ -55,6 +55,7 @@ Key TPU moves:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -177,7 +178,8 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
             o_out, d_out, tp_out, qsb_out, rid_out, acc_out, dest_out,
             qs_out, base_ref, tbuf_ref, sbuf_ref, dep_sem,
             *, n_nodes, k_steps, nblk, npix, width, slots_eff, big_mode,
-            max_depth, bg_kind, s_pad, rr_depth, ablate=None):
+            max_depth, bg_kind, s_pad, n_real, rr_depth, ablate=None,
+            isect="bvh"):
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -300,8 +302,28 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
         zf = jnp.zeros_like(a)
         init_leaf = (jnp.full_like(a, INF), zf, zf, zf, zf + 1.0,
                      zf, zf, zf, zf, zf + 1.0, zf - 1.0, zf, zf, zf)
-        _, leafc = jax.lax.while_loop(t_cond, t_body,
-                                      (jnp.int32(0), init_leaf))
+        if isect == "dense":
+            # Flat sweep over every sphere (no BVH): constant work per
+            # step regardless of ray coherence — the packet BVH pays
+            # the union of its lanes' subtrees on incoherent bounce
+            # rays, so at few-hundred-sphere scales the dense loop can
+            # win (hardware A/B: MRT_MEGA_ISECT, tools/probe_megastep).
+            def d_body(k, c):
+                s2 = k * 2
+                c = sphere_test_n(s2, c)
+                c = sphere_test_n(s2 + 1, c)
+                return c
+
+            def sphere_test_n(s2, c):
+                new = sphere_test(s2, c)
+                take = s2 < n_real
+                return tuple(jnp.where(take, n, o_)
+                             for n, o_ in zip(new, c))
+
+            leafc = jax.lax.fori_loop(0, s_pad // 2, d_body, init_leaf)
+        else:
+            _, leafc = jax.lax.while_loop(t_cond, t_body,
+                                          (jnp.int32(0), init_leaf))
         (bt, cx, cy, cz, rr, al0, al1, al2, fuzz, ior, mt,
          e0, e1, e2) = leafc
 
@@ -593,11 +615,11 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
     jax.jit,
     static_argnames=("n_nodes", "k_steps", "npix", "width", "slots_eff",
                      "big_mode", "max_depth", "bg_kind", "rr_depth",
-                     "ablate", "interpret"))
+                     "ablate", "isect", "n_real", "interpret"))
 def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
             dest2, *, n_nodes, k_steps, npix, width, slots_eff, big_mode,
-            max_depth, bg_kind, rr_depth=None, ablate=None,
-            interpret=False):
+            max_depth, bg_kind, n_real, rr_depth=None, ablate=None,
+            isect="bvh", interpret=False):
     rows = o3.shape[1]
     nblk = rows // BLOCK_ROWS
     s_pad = sph.shape[1]
@@ -613,7 +635,7 @@ def _launch(si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid, acc,
         _kernel, n_nodes=n_nodes, k_steps=k_steps, nblk=nblk, npix=npix,
         width=width, slots_eff=slots_eff, big_mode=big_mode,
         max_depth=max_depth, bg_kind=bg_kind, s_pad=s_pad,
-        rr_depth=rr_depth, ablate=ablate)
+        n_real=n_real, rr_depth=rr_depth, ablate=ablate, isect=isect)
 
     grid = (nblk,)
     vspec3 = lambda nr: pl.BlockSpec((nr, BLOCK_ROWS, LANE),
@@ -747,7 +769,7 @@ def run_block(scene, camera, state, *, width, height, seed,
               sample_start, samples, max_depth, pool, slots_eff,
               big_mode, k_steps, t_min, neutral, pixel_offset=0,
               n_pixels=None, sample_stride=1, rr_depth=None,
-              ablate=None, interpret=False):
+              ablate=None, isect=None, interpret=False):
     """Run k_steps persistent wavefront steps through the megakernel.
 
     `state` is the integrator's tuple (item, bounce, o, d, throughput,
@@ -828,7 +850,8 @@ def run_block(scene, camera, state, *, width, height, seed,
         si, sf, nodes, meta, sph, smat, o3, d3, tp3, qsb, rid2, acc3,
         dest2, n_nodes=m, k_steps=k_steps, npix=npix, width=width,
         slots_eff=slots_eff, big_mode=big_mode, max_depth=max_depth,
-        bg_kind=bg_kind, rr_depth=rr_depth, ablate=ablate,
+        bg_kind=bg_kind, n_real=s, rr_depth=rr_depth, ablate=ablate,
+        isect=isect or os.environ.get("MRT_MEGA_ISECT", "bvh"),
         interpret=interpret)
 
     def from3(x3, w=3):

@@ -74,9 +74,11 @@ def test_draw4_matches_sampler():
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
-def test_single_step_parity():
+@pytest.mark.parametrize("isect", ["bvh", "dense"])
+def test_single_step_parity(isect):
     """One kernel step vs one XLA step from the same state: every
-    discrete/accumulated quantity identical; o/d within FMA noise."""
+    discrete/accumulated quantity identical; o/d within FMA noise.
+    Both intersect variants (packet BVH / dense sweep) must agree."""
     scene, camera = _scene()
     w, h, samples, pool, depth = 64, 32, 2, 2048, 8
     npix = w * h
@@ -95,7 +97,7 @@ def test_single_step_parity():
                         max_depth=depth, pool=pool,
                         slots_eff=npix_pad, big_mode=False,
                         k_steps=1, t_min=P.T_MIN, neutral=neutral,
-                        interpret=True)
+                        isect=isect, interpret=True)
 
     for i, nm in ((0, "item"), (1, "bounce"), (5, "rid"),
                   (6, "next_work")):

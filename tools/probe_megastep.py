@@ -49,18 +49,21 @@ def main():
         st10 = jax.lax.fori_loop(0, K, lambda i, s: step(s), st10)
         return st10
 
-    def mega_block(st, ablate=None):
+    def mega_block(st, ablate=None, isect=None):
         return mk.run_block(
             scene_b, camera, st, width=w, height=h, seed=seed,
             sample_start=sample_start, samples=samples, max_depth=depth,
             pool=POOL, slots_eff=slots_eff, big_mode=big_mode,
-            k_steps=K, t_min=P.T_MIN, neutral=neutral, ablate=ablate)
+            k_steps=K, t_min=P.T_MIN, neutral=neutral, ablate=ablate,
+            isect=isect)
 
     mega_block_j = jax.jit(mega_block)
     mega_nodep = jax.jit(lambda st: mega_block(st, ablate="nodep"))
+    mega_dense = jax.jit(lambda st: mega_block(st, isect="dense"))
 
     for name, fn in (("xla", xla_block), ("mega", mega_block_j),
-                     ("mega-nodep", mega_nodep)):
+                     ("mega-nodep", mega_nodep),
+                     ("mega-dense", mega_dense)):
         st = jax.block_until_ready(fn(state))
         reps = 8
         t0 = time.time()
