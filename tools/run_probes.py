@@ -17,5 +17,9 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, "/root/repo/tools")
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)  # `import mrt` regardless of cwd/PYTHONPATH
+    sys.path.insert(0, os.path.join(root, "tools"))
     main()
