@@ -25,13 +25,20 @@ def main():
 
     scene, camera = get("rtiow")(aspect_ratio=16 / 9).generate()
 
+    import os
+
     variants = [
-        ("xla-packet", scene, False),
-        ("xla-brute", scene.replace(sphere_bvh=None), False),
-        ("mega", scene, True),
+        ("xla-packet", scene, False, None),
+        ("xla-brute", scene.replace(sphere_bvh=None), False, None),
+        ("xla-x", scene.replace(sphere_bvh=None), False, "x"),
+        ("mega", scene, True, None),
     ]
     rays = W * H * SPP
-    for name, sc, mega in variants:
+    for name, sc, mega, skern in variants:
+        if skern is None:
+            os.environ.pop("MRT_SPHERE_KERNEL", None)
+        else:
+            os.environ["MRT_SPHERE_KERNEL"] = skern
         try:
             for rep in range(2):
                 t0 = time.time()
