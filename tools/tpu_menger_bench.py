@@ -44,14 +44,20 @@ def main():
               f"inst={scene.tlas.transform.shape[0]} "
               f"tris={scene.tlas.tris.count} tables={tb//1024}KB "
               f"plan={plan}", flush=True)
-        t0 = time.time()
-        film = render(scene, camera, W, H, spp=SPP, max_depth=DEPTH,
-                      seed=1, persistent=True, sort_rays=sort_rays)
-        jax.block_until_ready(film.sum)
-        dt = time.time() - t0
+        warm = None
+        for rep in range(2):
+            t0 = time.time()
+            film = render(scene, camera, W, H, spp=SPP,
+                          max_depth=DEPTH, seed=1, persistent=True,
+                          sort_rays=sort_rays)
+            jax.block_until_ready(film.sum)
+            dt = time.time() - t0
+            if warm is None:
+                warm = dt
         rays = W * H * SPP
         segs = float(np.asarray(film.depth_sum).sum())
-        print(f"bake={bake}: {dt:.1f}s for {SPP}spp {W}x{H} d{DEPTH} "
+        print(f"bake={bake}: warm {warm:.1f}s steady {dt:.1f}s for "
+              f"{SPP}spp {W}x{H} d{DEPTH} "
               f"-> {rays/dt/1e3:.1f}k cam rays/s, "
               f"{segs/dt/1e6:.2f}M segs/s", flush=True)
     print("MENGER_BENCH_OK", flush=True)
