@@ -86,13 +86,17 @@ def _page_bytes(name):
 
 
 def _make_reader(name, n_slots, f_ref, i_ref, f_cache, i_cache, tags,
-                 rr, sems):
+                 rr, sems, nodma=False):
     """Returns entry(idx) -> (readf(row), readi(row)) for one group.
 
     Resident groups (n_slots == 0) read SMEM directly.  Streamed groups
     resolve the entry's page ONCE per entry() through the tag array
     (unrolled compare), DMA-filling a round-robin slot on miss; the
     returned closures then read cached scalars with no further lookups.
+
+    nodma=True is a PROFILING ABLATION: the miss path claims the slot
+    and updates the tag but skips the HBM DMA (reads stale data) —
+    times the kernel's cost floor with the miss-DMA cost removed.
     """
     frows, irows = GROUPS[name]
     if not n_slots:
@@ -113,18 +117,19 @@ def _make_reader(name, n_slots, f_ref, i_ref, f_cache, i_cache, tags,
 
             def fill(s):
                 def go(_):
-                    src = f_ref.at[:, pl.ds(page * PAGE, PAGE)]
-                    d1 = pltpu.make_async_copy(src, f_cache.at[s],
-                                               sems.at[0])
-                    d1.start()
-                    if irows:
-                        d2 = pltpu.make_async_copy(
-                            i_ref.at[:, pl.ds(page * PAGE, PAGE)],
-                            i_cache.at[s], sems.at[1])
-                        d2.start()
-                    d1.wait()
-                    if irows:
-                        d2.wait()
+                    if not nodma:
+                        src = f_ref.at[:, pl.ds(page * PAGE, PAGE)]
+                        d1 = pltpu.make_async_copy(src, f_cache.at[s],
+                                                   sems.at[0])
+                        d1.start()
+                        if irows:
+                            d2 = pltpu.make_async_copy(
+                                i_ref.at[:, pl.ds(page * PAGE, PAGE)],
+                                i_cache.at[s], sems.at[1])
+                            d2.start()
+                        d1.wait()
+                        if irows:
+                            d2.wait()
                     tags[s] = page
                     return jnp.int32(s)
                 return go
@@ -142,7 +147,7 @@ def _make_reader(name, n_slots, f_ref, i_ref, f_cache, i_cache, tags,
     return entry
 
 
-def _build_kernel(streamed, n_tlas):
+def _build_kernel(streamed, n_tlas, nodma=False):
     """streamed: dict name -> bool (static); returns the kernel fn."""
 
     def kernel(scalars_ref, tnodes, tmeta, inst, imeta, bnodes, bmeta,
@@ -167,7 +172,7 @@ def _build_kernel(streamed, n_tlas):
                 init_tags.append((tags, n_slots, rr))
                 readers[name] = _make_reader(
                     name, n_slots, refs[name][0], refs[name][1],
-                    f_cache, i_cache, tags, rr, sems)
+                    f_cache, i_cache, tags, rr, sems, nodma=nodma)
             else:
                 readers[name] = _make_reader(
                     name, 0, refs[name][0], refs[name][1],
@@ -386,10 +391,11 @@ def _normalize_plan(streamed) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("streamed_key", "n_tlas",
-                                             "interpret", "block_rows"))
+                                             "interpret", "block_rows",
+                                             "nodma"))
 def _traverse(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
               o3, d3, t_min, det_eps, t_max2, streamed_key, n_tlas,
-              interpret=False, block_rows=BLOCK_ROWS):
+              interpret=False, block_rows=BLOCK_ROWS, nodma=False):
     streamed = dict(zip(_ORDER, streamed_key))
     r = o3.shape[1]
     grid = (pl.cdiv(r, block_rows),)
@@ -398,7 +404,7 @@ def _traverse(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
 
     # n_tlas is the UNPADDED node count: escape indices terminate at it,
     # so lane-pad nodes are never visited (and never DMA'd).
-    kernel = _build_kernel(streamed, n_tlas=n_tlas)
+    kernel = _build_kernel(streamed, n_tlas=n_tlas, nodma=nodma)
 
     def table_spec(shape, is_streamed):
         if is_streamed:
