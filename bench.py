@@ -6,6 +6,11 @@ publishes no numbers (README.md:1-5), so the recorded metric IS the
 baseline; vs_baseline compares against the value stored in
 `bench_baseline.json` (written on first run).
 
+Protocol (VERDICT r2 #4): one untimed warm-up pass (compile + chunk
+ramp), then the headline = MEDIAN of 3 steady spp=8 passes, plus one
+spp=64 pass (the BASELINE.md-named baseline workload).  Details land in
+`bench_detail.json` beside this file.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -13,14 +18,17 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 WIDTH, HEIGHT = 1920, 1080
 SPP = 8
+SPP_BASELINE = 64
 MAX_DEPTH = 50
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
+_DIR = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(_DIR, "bench_baseline.json")
+DETAIL_FILE = os.path.join(_DIR, "bench_detail.json")
 
 
 def _device_alive(timeout=240):
@@ -57,31 +65,47 @@ def main():
 
     scene, camera = get("rtiow")(aspect_ratio=WIDTH / HEIGHT).generate()
 
-    film = Film.create(WIDTH, HEIGHT)
-    # Warmup: compile + run with the SAME statics as the timed pass
-    # (the pool is bucketed by spp, so a 1-spp warmup would compile a
-    # different program and leave the timed one cold).
-    film = render_pass_persistent(scene, camera, film, 1, 0, width=WIDTH,
-                                  height=HEIGHT, max_depth=MAX_DEPTH,
-                                  samples=SPP)
-    film.sum.block_until_ready()
-    warm_depth = int(film.depth_sum.sum())
+    def one_pass(film, start, spp):
+        film = render_pass_persistent(scene, camera, film, 1, start,
+                                      width=WIDTH, height=HEIGHT,
+                                      max_depth=MAX_DEPTH, samples=spp)
+        film.sum.block_until_ready()
+        return film
 
+    film = Film.create(WIDTH, HEIGHT)
+    # Warm-up: compile + adaptive chunk ramp with the SAME statics as
+    # the timed passes (the pool is bucketed by spp, so a 1-spp warmup
+    # would compile a different program and leave the timed one cold).
     t0 = time.perf_counter()
-    film = render_pass_persistent(scene, camera, film, 1, SPP,
-                                  width=WIDTH, height=HEIGHT,
-                                  max_depth=MAX_DEPTH, samples=SPP)
-    film.sum.block_until_ready()
-    dt = time.perf_counter() - t0
+    film = one_pass(film, 0, SPP)
+    warm_s = time.perf_counter() - t0
+    depth_before = int(film.depth_sum.sum())
+
+    runs = []
+    start = SPP
+    for _ in range(3):
+        t0 = time.perf_counter()
+        film = one_pass(film, start, SPP)
+        runs.append(time.perf_counter() - t0)
+        start += SPP
 
     camera_rays = WIDTH * HEIGHT * SPP
+    dt = statistics.median(runs)
     rays_per_sec = camera_rays / dt
-    # Path segments give the density-independent number for the record
-    # (delta over the warmup pass: each path >= 1 segment).
-    segments = (int(film.depth_sum.sum()) - warm_depth) + camera_rays
-    print(f"# {dt:.2f}s for {SPP} spp @ {WIDTH}x{HEIGHT} depth {MAX_DEPTH}; "
+    segments = ((int(film.depth_sum.sum()) - depth_before) // 3
+                + camera_rays)
+
+    t0 = time.perf_counter()
+    film = one_pass(film, start, SPP_BASELINE)
+    dt64 = time.perf_counter() - t0
+    rays64 = WIDTH * HEIGHT * SPP_BASELINE / dt64
+
+    print(f"# warm-up (compile+ramp) {warm_s:.2f}s; steady spp={SPP} "
+          f"runs {['%.3f' % r for r in runs]}s -> median {dt:.3f}s = "
           f"{rays_per_sec/1e6:.2f}M camera rays/s, "
-          f"{segments/dt/1e6:.2f}M path segments/s", file=sys.stderr)
+          f"{segments/dt/1e6:.2f}M path segments/s; "
+          f"spp={SPP_BASELINE} pass {dt64:.2f}s = {rays64/1e6:.2f}M "
+          f"rays/s", file=sys.stderr)
 
     vs = 1.0
     if os.path.exists(BASELINE_FILE):
@@ -93,6 +117,19 @@ def main():
         with open(BASELINE_FILE, "w") as f:
             json.dump({"metric": "camera_rays_per_sec",
                        "value": rays_per_sec}, f)
+
+    with open(DETAIL_FILE, "w") as f:
+        json.dump({
+            "workload": {"width": WIDTH, "height": HEIGHT,
+                         "max_depth": MAX_DEPTH},
+            "warmup_s": round(warm_s, 3),
+            "steady_runs_s": [round(r, 4) for r in runs],
+            "median_s": round(dt, 4),
+            "camera_rays_per_sec_spp8": round(rays_per_sec, 1),
+            "path_segments_per_sec": round(segments / dt, 1),
+            "spp64_s": round(dt64, 3),
+            "camera_rays_per_sec_spp64": round(rays64, 1),
+        }, f, indent=1)
 
     print(json.dumps({
         "metric": "camera_rays_per_sec_rtiow1080p_d50",

@@ -61,6 +61,10 @@ def build_parser():
                         "display-mode keys, export, quick-pass")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--play", action="store_true",
+                   help="with --serve: interactive game loop — browser "
+                        "WASD/space drive the scene's InputCollection "
+                        "each frame; --write-input records the session")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
     p.add_argument("--config", default=None,

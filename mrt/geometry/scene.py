@@ -41,6 +41,10 @@ class Scene:
     volumes: Optional[Any] = None          # geometry.volumes.VolumeSpheres
     mesh_volumes: Any = None               # tuple[volumes.MeshVolume, ...]
     #   media bounded by arbitrary instanced meshes (geom.rs:595-660)
+    voxels: Any = None                     # tuple[voxels.VoxelGrid, ...]
+    #   procedural/dense cell grids walked by gather-free DDA — the
+    #   TPU-native representation of the reference's 3.2M-instanced-cube
+    #   Menger scene (src/scenes/menger.rs:68-124)
     atlas: Optional[Any] = None            # textures.atlas.TextureAtlas
     lights: Optional[Any] = None           # materials.lights.LightTable
     #   non-None => the integrator adds next-event estimation (a
@@ -77,6 +81,11 @@ class Scene:
             r = self.spheres.radius[:, None]
             mins.append(jnp.min(self.spheres.center - r, axis=0))
             maxs.append(jnp.max(self.spheres.center + r, axis=0))
+        if self.voxels:
+            for g in self.voxels:
+                lo, hi = g.world_bounds()
+                mins.append(lo)
+                maxs.append(hi)
         if not mins:
             return jnp.zeros(3), jnp.ones(3)
         return (jnp.min(jnp.stack(mins), axis=0),
@@ -207,6 +216,11 @@ class Scene:
                 from . import instance as inst_mod
                 hits = hits.closer_of(inst_mod.intersect_tlas(
                     self.tlas, o, d, t_min, t_max, scene=self))
+        if self.voxels:
+            from . import voxels as vox_mod
+            for g in self.voxels:
+                hits = hits.closer_of(vox_mod.intersect(
+                    g, o, d, t_min, t_max))
         if self.volumes is not None:
             from . import volumes as vol_mod
             if sampler is None:
@@ -256,6 +270,7 @@ class SceneBuilder:
         self._tri_groups = []
         self._volumes = []
         self._mesh_volumes = []
+        self._voxels = []
 
     def _ensure_registry(self):
         if self._registry is None:
@@ -306,6 +321,16 @@ class SceneBuilder:
         mesh = reg.add_mesh(tris)
         reg.add_instance(mesh, translation, rotation, scale)
         self._mesh_volumes.append((reg, -1.0 / float(density), mat))
+
+    def add_voxel_grid(self, origin, cell, levels, material,
+                       rule="menger", occupancy=None):
+        """Axis-aligned grid of solid unit cells (geometry/voxels.py):
+        the gather-free representation for regularly-tiled instanced
+        geometry (the reference's Menger sponge, menger.rs:68-124)."""
+        from .voxels import VoxelGrid
+        self._voxels.append(VoxelGrid.create(
+            origin, cell, levels, material, rule=rule,
+            occupancy=occupancy))
 
     # Sphere sets at or above this size get a BVH (brute force wins for
     # small counts; traversal overhead dominates below ~tens).
@@ -373,6 +398,7 @@ class SceneBuilder:
             tlas=tlas,
             volumes=volumes,
             mesh_volumes=mesh_volumes,
+            voxels=tuple(self._voxels) or None,
             atlas=self._atlas,
             needs_alpha=(self._atlas is not None
                          and self._materials.may_alpha_test()),

@@ -64,6 +64,10 @@ class RenderConfig:
     serve: bool = False
     host: str = "127.0.0.1"
     port: int = 7860
+    # Interactive play mode (with --serve): browser WASD/space keys feed
+    # a per-frame InputCollection into Scene.generate — the reference's
+    # playable Mario loop (main.rs:333-360, scenes/mario.rs:121-276).
+    play: bool = False
 
     @property
     def aspect_ratio(self):

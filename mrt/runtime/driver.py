@@ -76,7 +76,8 @@ def run(config: RenderConfig, log=print):
         jax.profiler.start_trace(config.profile_dir)
 
     try:
-        if getattr(config, "serve", False):
+        if getattr(config, "serve", False) or getattr(config, "play",
+                                                      False):
             from .viewer import serve
             return serve(config, log=log)
         if not config.animate:

@@ -42,7 +42,8 @@ img { image-rendering:pixelated; width:min(96vw, 1280px); }
 #bar { margin:.5em 0 }
 </style></head><body>
 <div id="bar">mrt &mdash; keys: 1..5 display modes &middot; E export
-&middot; ` quick-pass &middot; <span id="st"></span></div>
+&middot; ` quick-pass &middot; WASD+space play (--play scenes)
+&middot; <span id="st"></span></div>
 <img id="frame" src="/frame.png">
 <script>
 const img = document.getElementById('frame');
@@ -53,15 +54,37 @@ async function tick() {
     img.src = URL.createObjectURL(await r.blob());
     const s = await (await fetch('/status')).json();
     st.textContent = s.mode + ' | ' + s.samples + ' spp' +
+        (s.frame !== undefined ? ' | frame ' + s.frame : '') +
         (s.quick_pass ? ' | QUICK PASS' : '') +
         (s.done ? ' | done' : '');
   } catch (e) {}
-  setTimeout(tick, 500);
+  setTimeout(tick, 250);
 }
 tick();
+// Held game keys stream to /input as a comma list (the gilrs
+// poll-every-frame role, main.rs:333-360); everything else stays a
+// one-shot /key control event.
+const held = new Set();
+const game = new Set(['w','a','s','d',' ','shift',
+                      'arrowleft','arrowright','arrowup','arrowdown']);
+function sendHeld() {
+  fetch('/input?held=' + encodeURIComponent([...held].join(',')));
+}
 document.addEventListener('keydown', (e) => {
-  fetch('/key?k=' + encodeURIComponent(e.key));
+  const k = e.key.toLowerCase();
+  if (game.has(k)) {
+    if (!held.has(k)) { held.add(k); sendHeld(); }
+    e.preventDefault();
+  } else {
+    fetch('/key?k=' + encodeURIComponent(e.key));
+  }
 });
+document.addEventListener('keyup', (e) => {
+  const k = e.key.toLowerCase();
+  if (held.delete(k)) sendHeld();
+});
+window.addEventListener('blur', () => { held.clear(); sendHeld(); });
+setInterval(sendHeld, 400);   // heartbeat vs missed keyups
 </script></body></html>
 """
 
@@ -81,6 +104,33 @@ class ViewerState:
         self.samples = 0
         self.done = False
         self.png = b""
+        self.held = frozenset()  # live game keys (w/a/s/d/space/...)
+        self.frame = None        # interactive-mode frame counter
+
+    def set_held(self, keys):
+        with self.lock:
+            self.held = frozenset(k for k in keys if k)
+
+    def input_collection(self):
+        """Map held keys to the per-frame InputCollection the scene's
+        generate() consumes (the reference feeds gamepad state the same
+        way each frame, main.rs:333-360,500-532)."""
+        from .input import InputCollection
+
+        with self.lock:
+            h = self.held
+        return InputCollection(
+            stick_x=(1.0 if "d" in h else 0.0)
+                    - (1.0 if "a" in h else 0.0),
+            stick_y=(1.0 if "w" in h else 0.0)
+                    - (1.0 if "s" in h else 0.0),
+            cam_x=(1.0 if "arrowright" in h else 0.0)
+                  - (1.0 if "arrowleft" in h else 0.0),
+            cam_z=(1.0 if "arrowup" in h else 0.0)
+                  - (1.0 if "arrowdown" in h else 0.0),
+            button_a=" " in h,
+            button_b="shift" in h,
+        )
 
     def key(self, k):
         with self.lock:
@@ -134,13 +184,21 @@ def _handler(state: ViewerState):
                 q = parse_qs(urlparse(self.path).query)
                 state.key(q.get("k", [""])[0])
                 self._send(200, "text/plain", b"ok")
+            elif self.path.startswith("/input"):
+                from urllib.parse import urlparse, parse_qs
+                q = parse_qs(urlparse(self.path).query)
+                held = q.get("held", [""])[0]
+                state.set_held(held.split(",") if held else [])
+                self._send(200, "text/plain", b"ok")
             elif self.path.startswith("/status"):
                 with state.lock:
-                    body = json.dumps(dict(
+                    d = dict(
                         mode=state.mode.value, samples=int(state.samples),
                         quick_pass=state.quick_pass,
-                        done=state.done)).encode()
-                self._send(200, "application/json", body)
+                        done=state.done)
+                    if state.frame is not None:
+                        d["frame"] = int(state.frame)
+                self._send(200, "application/json", json.dumps(d).encode())
             else:
                 self._send(200, "text/html", _PAGE.encode())
     return Handler
@@ -182,11 +240,6 @@ def serve(config, log=print, stop=None):
     log(f"viewer at http://{config.host}:{config.port}")
 
     sc = scenes.get(config.scene)(aspect_ratio=config.aspect_ratio)
-    scene, camera = sc.generate(0.0, 0, InputCollection())
-    if config.nee:
-        from ..geometry.scene import attach_lights
-        scene = attach_lights(scene)
-
     denoiser = _denoiser_for(config)
     albedo = normal = None
 
@@ -196,6 +249,17 @@ def serve(config, log=print, stop=None):
             return film.to_rgb_bytes(mode, denoiser=denoiser)
         except ValueError:   # mode needs AOV not yet attached
             return film.to_rgb_bytes(DisplayMode.DEFAULT)
+
+    if getattr(config, "play", False):
+        # Play mode generates per frame itself — generating here too
+        # would tick stateful scenes (physics) one extra time and break
+        # record/replay bit-identity.
+        return _play_loop(config, state, sc, stop, log, tonemap, httpd)
+
+    scene, camera = sc.generate(0.0, 0, InputCollection())
+    if config.nee:
+        from ..geometry.scene import attach_lights
+        scene = attach_lights(scene)
 
     try:
         while not stop.is_set():
@@ -250,6 +314,56 @@ def serve(config, log=print, stop=None):
     except KeyboardInterrupt:
         log("viewer stopped")
     finally:
+        httpd.shutdown()
+
+
+def _play_loop(config, state, sc, stop, log, tonemap, httpd):
+    """Interactive game loop: poll the browser's held keys into a
+    per-frame InputCollection, regenerate the (dynamic) scene, render
+    one short frame, repeat — the reference's playable Mario loop
+    (main.rs:104-117 per-frame generate, 333-360 gamepad poll,
+    scenes/mario.rs:121-276).  With --write-input the played session is
+    recorded; replaying it through the --animate driver regenerates the
+    identical frame sequence (mario.rs:318-343)."""
+    import dataclasses
+
+    from .driver import render_frame
+    from .input import InputRecorder
+
+    recorder = InputRecorder() if config.write_input else None
+    fcfg = dataclasses.replace(config, spp=config.samples_per_frame)
+    total = max(config.total_frames, 1)
+    frame = 0
+    film = None
+    log(f"play mode: WASD + space in the browser drive the scene "
+        f"({config.samples_per_frame} spp/frame)")
+    try:
+        while not stop.is_set():
+            inp = state.input_collection()
+            if recorder is not None:
+                recorder.record(inp)
+            scene, camera = sc.generate(frame / total, frame, inp)
+            if config.nee:
+                from ..geometry.scene import attach_lights
+                scene = attach_lights(scene)
+            film = render_frame(scene, camera, fcfg)
+            film.sum.block_until_ready()
+            with state.lock:
+                state.frame = frame
+            state.publish(film, png_bytes(tonemap(film)),
+                          int(film.samples))
+            self_export(state, film, config)
+            frame += 1
+    except KeyboardInterrupt:
+        log("play loop stopped")
+    finally:
+        if recorder is not None and recorder.frames:
+            recorder.save(config.write_input)
+            log(f"recorded {len(recorder.frames)} frames -> "
+                f"{config.write_input}")
+        if film is not None:
+            from .driver import export
+            export(film, config.output, config)  # last played frame
         httpd.shutdown()
 
 

@@ -139,16 +139,27 @@ def sponge_block_mesh(bake, dims=2.0, material=0):
 
 @register("menger")
 class Menger:
-    """`bake` levels of the sponge are fused into one greedy-meshed
-    block (sponge_block_mesh); the remaining `level - bake` levels are
-    instanced — the default (5, 2) is the reference's 3.2M-cube scene
-    as 8000 instances of a 1176-triangle block, identical surface.
-    bake=0 reproduces the literal per-cube instancing."""
+    """The sponge body renders through one of two equivalent paths:
 
-    def __init__(self, aspect_ratio=16.0 / 9.0, level=5, bake=2):
+    voxel=True (default): a single procedural `VoxelGrid` — the sponge's
+    cubes exactly tile a 3^level grid whose occupancy is the closed-form
+    digit rule (sponge_occupancy), so the closest hit is a gather-free
+    hierarchical DDA (geometry/voxels.py).  This is the TPU-native path
+    that renders the reference's 3.2M-cube level-5 scene at full speed.
+
+    voxel=False: instanced triangle meshes via the TLAS — `bake` levels
+    fused into one greedy-meshed block (sponge_block_mesh), the
+    remaining `level - bake` levels instanced; (5, 2) is 8000 instances
+    of a 1176-triangle block, identical surface.  bake=0 reproduces the
+    literal per-cube instancing (menger.rs:86-103).  Kept as the
+    general-TLAS stress path (it exercises the HBM-streamed kernel)."""
+
+    def __init__(self, aspect_ratio=16.0 / 9.0, level=5, bake=2,
+                 voxel=True):
         self.aspect_ratio = aspect_ratio
         self.level = level
         self.bake = min(bake, level)
+        self.voxel = voxel
 
     def generate(self, t=0.0, frame=0, input=None):
         mat = MaterialBuilder()
@@ -159,16 +170,19 @@ class Menger:
         background = environment(atlas, "j02", rotation=(0.4, 0.2, 0.1))
         sb = SceneBuilder(mat, background, atlas=atlas.build())
 
-        bake = self.bake
-        if bake > 0:
-            block = sb.add_mesh(sponge_block_mesh(bake, dims=2.0))
-            for p in sponge_positions(self.level - bake,
-                                      dims=2.0 * 3.0 ** bake):
-                sb.add_instance(block, tuple(p), material=white)
+        if self.voxel:
+            half = 2.0 * 3.0 ** self.level / 2.0
+            sb.add_voxel_grid(origin=(-half, -half, -half), cell=2.0,
+                              levels=self.level, material=white)
         else:
-            block = None
+            bake = self.bake
+            if bake > 0:
+                block = sb.add_mesh(sponge_block_mesh(bake, dims=2.0))
+                for p in sponge_positions(self.level - bake,
+                                          dims=2.0 * 3.0 ** bake):
+                    sb.add_instance(block, tuple(p), material=white)
         mesh = sb.add_mesh(cube(size=2.0))
-        if bake == 0:
+        if not self.voxel and self.bake == 0:
             for p in sponge_positions(self.level):
                 sb.add_instance(mesh, tuple(p), material=white)
 

@@ -43,7 +43,12 @@ def cornell_nee():
 
 
 def menger2():
-    return get("menger")(aspect_ratio=1.0, level=2, bake=1).generate()
+    return get("menger")(aspect_ratio=1.0, level=2, bake=1,
+                         voxel=False).generate()
+
+
+def menger2_voxel():
+    return get("menger")(aspect_ratio=1.0, level=2).generate()
 
 
 def textured():
@@ -116,4 +121,5 @@ def volume():
 
 FACTORIES = dict(rtiow=rtiow, cornell=cornell, textured=textured,
                  eve_ball=eve_ball, volume=volume,
-                 cornell_nee=cornell_nee, menger2=menger2)
+                 cornell_nee=cornell_nee, menger2=menger2,
+                 menger2_voxel=menger2_voxel)

@@ -72,7 +72,7 @@ def test_choose_streaming_menger_scale():
     but keeps the (small) BLAS + triangles resident."""
     from mrt.scenes.menger import Menger
 
-    scene, _ = Menger(level=5, bake=2).generate()
+    scene, _ = Menger(level=5, bake=2, voxel=False).generate()
     plan = pallas_stream.choose_streaming(scene.tlas)
     assert plan["tlas"] and plan["inst"]
     assert not plan["blas"] and not plan["tri"]

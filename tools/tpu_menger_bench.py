@@ -44,7 +44,7 @@ def main():
               f"inst={scene.tlas.transform.shape[0]} "
               f"tris={scene.tlas.tris.count} tables={tb//1024}KB "
               f"plan={plan}", flush=True)
-        warm = None
+        cold = None
         for rep in range(2):
             t0 = time.time()
             film = render(scene, camera, W, H, spp=SPP,
@@ -52,11 +52,11 @@ def main():
                           sort_rays=sort_rays)
             jax.block_until_ready(film.sum)
             dt = time.time() - t0
-            if warm is None:
-                warm = dt
+            if cold is None:
+                cold = dt
         rays = W * H * SPP
         segs = float(np.asarray(film.depth_sum).sum())
-        print(f"bake={bake}: warm {warm:.1f}s steady {dt:.1f}s for "
+        print(f"bake={bake}: cold {cold:.1f}s steady {dt:.1f}s for "
               f"{SPP}spp {W}x{H} d{DEPTH} "
               f"-> {rays/dt/1e3:.1f}k cam rays/s, "
               f"{segs/dt/1e6:.2f}M segs/s", flush=True)
