@@ -59,6 +59,8 @@ def environment(atlas: AtlasBuilder, name="j02", rotation=(0.4, 0.2, 0.1),
 
     Returns a CubeMap background; texture rows are added to `atlas`.
     """
+    from ..runtime.assets import resolve
+    asset_root = resolve(asset_root)
     star_path = os.path.join(asset_root, "stars01_tile2.png")
     have_assets = os.path.exists(star_path)
     rng = np.random.default_rng(seed)

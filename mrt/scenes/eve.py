@@ -124,8 +124,11 @@ def load_ship(sb: SceneBuilder, mats: MaterialBuilder,
               atlas: AtlasBuilder, hull: str, seed=0):
     """Register a hull's mesh; returns (mesh_id, material_row)
     (eve.rs:216-340 + load via ObjLoader with EveFilter)."""
+    from ..runtime.assets import resolve
+
     asset_dir, prefix, obj_name, palette = HULLS[hull]
     pmdg_suffix = _PMDG_SUFFIX.get(hull, "_pmdg")
+    asset_dir = resolve(asset_dir)
     obj_path = os.path.join(asset_dir, obj_name)
     rng = np.random.default_rng(seed + hash(hull) % (1 << 16))
 

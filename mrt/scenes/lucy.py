@@ -67,8 +67,10 @@ class Lucy:
         sb.add_instance(ground, (0.0, -1000.0, 0.0), scale=1000.0,
                         material=white)
 
-        if os.path.exists(self.asset):
-            statue, max_dim = _load_lucy(self.asset)
+        from ..runtime.assets import resolve
+        asset = resolve(self.asset)
+        if os.path.exists(asset):
+            statue, max_dim = _load_lucy(asset)
         else:
             statue, max_dim = _standin_statue()
         statue_mesh = sb.add_mesh(statue)

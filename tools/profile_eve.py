@@ -68,10 +68,14 @@ def main():
 
     import mrt.textures.atlas as atlas_mod
     import mrt.materials.shade as shade_mod
+    import mrt.ops.rowlookup as rowlk_mod
     real_sample = atlas_mod.TextureAtlas.sample
     real_eve = shade_mod.eve_surface
     real_nm = shade_mod.apply_normal_maps
     real_em = shade_mod._emitted_from
+    real_scatter = shade_mod._scatter_from
+    real_shade_hit = shade_mod.shade_hit
+    real_rowlk = rowlk_mod.take_rows_with_int
 
     def fake_sample(self, ids, uv):
         return jnp.stack([uv[..., 0], uv[..., 1],
@@ -89,7 +93,24 @@ def main():
     def fake_em(scene, rows, mtype, emit_rgb, hits):
         return jnp.where(hits.hit[:, None], emit_rgb, 0.0)
 
-    for mode in ("full", "noeve", "isect_expand", "isect_only"):
+    def fake_scatter(scene, rows, mtype, params, hits, d_in, sampler):
+        one = jnp.ones(hits.normal.shape, jnp.float32)
+        return (one, hits.normal, hits.hit,
+                jnp.zeros(rows.shape, jnp.int32))
+
+    def fake_shade_hit(scene, hits, d_in, em, sc):
+        one = jnp.ones(hits.normal.shape, jnp.float32)
+        return (one * 0.0, one, hits.normal, hits.hit,
+                jnp.zeros(hits.t.shape, jnp.int32))
+
+    def fake_rowlk(params, mtype, rows):
+        n = rows.shape[0]
+        return (jnp.broadcast_to(params[0], (n,) + params.shape[1:]),
+                jnp.broadcast_to(mtype[0], (n,)))
+
+    for mode in ("full", "noeve", "notex", "nonm", "noemit",
+                 "noscatter", "noshade", "norowlk",
+                 "isect_expand", "isect_only"):
         atlas_mod.TextureAtlas.sample = (
             fake_sample if mode == "notex" else real_sample)
         shade_mod.eve_surface = (
@@ -98,6 +119,12 @@ def main():
             fake_nm if mode == "nonm" else real_nm)
         shade_mod._emitted_from = (
             fake_em if mode == "noemit" else real_em)
+        shade_mod._scatter_from = (
+            fake_scatter if mode == "noscatter" else real_scatter)
+        shade_mod.shade_hit = (
+            fake_shade_hit if mode == "noshade" else real_shade_hit)
+        rowlk_mod.take_rows_with_int = (
+            fake_rowlk if mode == "norowlk" else real_rowlk)
         f = jax.jit(lambda o, d: jax.lax.fori_loop(
             0, K, step(mode), (jnp.zeros((n,)), o, d))[0])
         jax.block_until_ready(f(o, d))
