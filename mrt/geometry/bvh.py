@@ -30,7 +30,14 @@ from flax import struct
 from .hit import INF
 from .triangles import Triangles, DET_EPS
 
-LEAF_SIZE = 4
+# Primitives per BVH leaf — the single source of truth (the packet
+# kernels and the XLA fallbacks import it).  Packet traversal pays per
+# SERIAL cursor step but tests leaf primitives across all vector lanes,
+# so fatter leaves trade cheap vector work for fewer expensive node
+# steps; MRT_LEAF_SIZE sweeps it (tools/probe_leaf.py).
+import os as _os
+
+LEAF_SIZE = int(_os.environ.get("MRT_LEAF_SIZE", "4"))
 
 
 @struct.dataclass

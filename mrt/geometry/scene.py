@@ -91,17 +91,29 @@ class Scene:
         return (jnp.min(jnp.stack(mins), axis=0),
                 jnp.max(jnp.stack(maxs), axis=0))
 
+    # Hardware-measured sort auto-on thresholds (tools/probe_sort_ab.py,
+    # r3): lucy 122 inst +41%, eve 38 inst +8%, sphere_grid 10k spheres
+    # +14%; cornell ~10 inst -52% (sort overhead beats the cheap
+    # traversal).  Means are bit-identical either way (permutation only).
+    SORT_MIN_INSTANCES = 32
+    SORT_MIN_SPHERES = 4096
+
     def prefers_sorted_rays(self):
         """True when per-step lane sorting is worth its cost: packet
         kernels share one traversal cursor per 1024-ray packet, so on
-        large instanced scenes (streamed TLAS) incoherent packets visit
-        near the union of all subtrees.  Sorting claims that back."""
-        if self.tlas is None:
-            return False
+        large instanced scenes incoherent packets visit near the union
+        of all subtrees.  Sorting claims that back."""
         from . import spheres as sph_mod
+        if not sph_mod._use_pallas():
+            return False
         from ..ops import budget
-        return (sph_mod._use_pallas()
-                and not budget.fits(budget.tlas_tables_bytes(self.tlas)))
+        if self.tlas is not None:
+            if not budget.fits(budget.tlas_tables_bytes(self.tlas)):
+                return True  # HBM-streamed: always sort
+            if self.tlas.transform.shape[0] >= self.SORT_MIN_INSTANCES:
+                return True
+        return (self.sphere_bvh is not None and self.spheres is not None
+                and self.spheres.count >= self.SORT_MIN_SPHERES)
 
     def intersect(self, o, d, t_min=T_MIN, t_max=jnp.inf,
                   sampler=None, shading_aux=True) -> Hits:

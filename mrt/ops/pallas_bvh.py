@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_spheres import LANE, BLOCK_ROWS
 
 INF = float("inf")
-LEAF_SIZE = 4  # must match geometry.bvh.LEAF_SIZE
+from ..geometry.bvh import LEAF_SIZE  # single source of truth
 
 
 def _kernel(scalars_ref, nodes_ref, meta_ref, sph_ref, o_ref, d_ref,

@@ -38,7 +38,7 @@ from .pallas_spheres import LANE, BLOCK_ROWS
 from . import budget
 
 INF = float("inf")
-LEAF_SIZE = 4   # must match geometry.bvh.LEAF_SIZE
+from ..geometry.bvh import LEAF_SIZE  # single source of truth
 
 PAGE = 256      # entries per cached page (lane-dim slice of the table)
 

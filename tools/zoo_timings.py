@@ -1,7 +1,19 @@
-"""Render every zoo scene on the TPU at preview size; record warm and
-steady pass times (the steady number is the comparable one — first
-pass includes the remote compile).  One process, one shape."""
+"""Render every zoo scene on the TPU at preview size; record cold and
+steady pass times (the steady number is the comparable one — the first
+pass includes the remote compile).  One process, one shape.  Writes
+artifacts/zoo_r03.json (VERDICT r2 #10: committed, regenerable
+artifacts for every cited number).
+"""
+import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "zoo_r03.json")
 
 
 def main():
@@ -15,8 +27,9 @@ def main():
     from mrt.runtime.render import render_pass_persistent
 
     W, H, DEPTH, SPP = 480, 270, 16, 4
-    for name in ("rtiow", "cornell", "sphere_grid", "lucy", "eve",
-                 "playground"):
+    rows = {}
+    for name in ("rtiow", "cornell", "sphere_grid", "lucy", "menger",
+                 "eve", "playground"):
         t0 = time.time()
         scene, camera = get(name)().generate()
         build = time.time() - t0
@@ -26,7 +39,7 @@ def main():
                                       width=W, height=H,
                                       max_depth=DEPTH, samples=SPP)
         film.sum.block_until_ready()
-        warm = time.time() - t0
+        cold = time.time() - t0
         t0 = time.time()
         film = render_pass_persistent(scene, camera, film, 1, SPP,
                                       width=W, height=H,
@@ -34,10 +47,19 @@ def main():
         film.sum.block_until_ready()
         dt = time.time() - t0
         rays = W * H * SPP
-        print(f"{name:12s} build {build:6.1f}s  warm {warm:6.1f}s  "
+        rows[name] = {"build_s": round(build, 2), "cold_s": round(cold, 2),
+                      "steady_s": round(dt, 3),
+                      "rays_per_sec": round(rays / dt, 1),
+                      "film_sum_mean": round(
+                          float(np.asarray(film.sum).mean()), 5)}
+        print(f"{name:12s} build {build:6.1f}s  cold {cold:6.1f}s  "
               f"steady {dt:6.2f}s ({rays/dt/1e6:.2f}M rays/s)  "
-              f"mean={float(np.asarray(film.sum).mean()):.4f}",
-              flush=True)
+              f"mean={rows[name]['film_sum_mean']:.4f}", flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump({"shape": f"{W}x{H} d{DEPTH} spp{SPP}",
+                   "scenes": rows}, f, indent=1)
+    print("wrote", OUT, flush=True)
     print("ZOO_OK", flush=True)
 
 
