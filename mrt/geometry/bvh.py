@@ -37,7 +37,11 @@ from .triangles import Triangles, DET_EPS
 # steps; MRT_LEAF_SIZE sweeps it (tools/probe_leaf.py).
 import os as _os
 
-LEAF_SIZE = int(_os.environ.get("MRT_LEAF_SIZE", "4"))
+# Default 16: hardware sweep (BASELINE.md r3) measured lucy 262->439k
+# rays/s (leaf 4->16, +67%), eve +16%, sphere_grid +14%; 32 gains
+# another ~18% on lucy but doubles the unrolled leaf-test code in every
+# kernel and the XLA fallback, so 16 is the default and 32 an override.
+LEAF_SIZE = int(_os.environ.get("MRT_LEAF_SIZE", "16"))
 
 
 @struct.dataclass
@@ -47,10 +51,60 @@ class FlatBVH:
     first: jnp.ndarray   # (M,) first triangle (leaves) / 0
     count: jnp.ndarray   # (M,) triangle count; 0 => internal node
     escape: jnp.ndarray  # (M,) node index to jump to when skipping
+    # Per-direction-octant threaded traversal orders (thread_octants):
+    # hitp[o, n] = next node after a hit at inner node n (its nearer
+    # child for octant o); missp[o, n] = next node after a miss / after
+    # a leaf's primitive tests.  Front-to-back descent lets the packet's
+    # shrinking best-t prune far subtrees (the n+1/escape build order
+    # can't).  None on BVHs built before threading existed.
+    hitp: jnp.ndarray = None    # (8, M) int32
+    missp: jnp.ndarray = None   # (8, M) int32
 
     @property
     def n_nodes(self):
         return self.bmin.shape[0]
+
+
+def thread_octants(count, escape, bmin, bmax):
+    """(hitp, missp) (8, M) int32 traversal orders, one per direction
+    octant (bit a of o set <=> d[a] < 0).
+
+    Children at inner node n are (n+1) and escape[n+1], ordered by
+    ascending centroid along the node's longest axis (the build's split
+    rule); the near child for an octant is the first one when the
+    direction is positive along that axis, else the second.  The DFS
+    sentinel after the root is M (matches the escape convention)."""
+    count = np.asarray(count)
+    escape = np.asarray(escape)
+    m = len(count)
+    ext = np.asarray(bmax, np.float64) - np.asarray(bmin, np.float64)
+    axis = np.argmax(ext, axis=1).astype(np.int32)
+    inner = count == 0
+    c1 = np.arange(m, dtype=np.int32) + 1
+    c2 = np.where(inner, escape[np.minimum(c1, m - 1)], 0).astype(
+        np.int32)
+
+    hitp = np.zeros((8, m), np.int32)
+    missp = np.zeros((8, m), np.int32)
+    for o in range(8):
+        neg = np.array([(o >> a) & 1 for a in range(3)], bool)
+        swap = neg[axis]                      # (M,)
+        first_c = np.where(swap, c2, c1)
+        second_c = np.where(swap, c1, c2)
+        # Iterative DFS threading: after(n) = next subtree in THIS
+        # octant's order.
+        stack = [(0, m)]
+        while stack:
+            n, after = stack.pop()
+            if inner[n]:
+                hitp[o, n] = first_c[n]
+                missp[o, n] = after
+                stack.append((int(first_c[n]), int(second_c[n])))
+                stack.append((int(second_c[n]), after))
+            else:
+                hitp[o, n] = after
+                missp[o, n] = after
+    return hitp, missp
 
 
 def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):

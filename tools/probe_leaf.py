@@ -13,7 +13,7 @@ import os
 import subprocess
 import sys
 
-LEAVES = (4, 8, 16)
+LEAVES = tuple(int(x) for x in os.environ.get('MRT_LEAF_SWEEP','4,8,16').split(','))
 
 
 def run_one(scene):
