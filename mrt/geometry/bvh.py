@@ -7,7 +7,7 @@ t_max shrinking (geom.rs:185-200).  Recursion and pointer-chasing don't
 map to TPUs, so this module:
 
   * builds on host (numpy, iterative) with a *deterministic* widest-axis
-    median split (reproducible builds; SURVEY §7) and LEAF_SIZE=4,
+    median split (reproducible builds; SURVEY §7) and LEAF_SIZE=16,
   * flattens depth-first with **escape indices**: node i's subtree is
     skipped by jumping to escape[i], so traversal is a single loop with
     no stack — each ray carries just its current node index,
@@ -277,12 +277,19 @@ def intersect_bvh_tris(tris: Triangles, bvh: FlatBVH, o, d, t_min, t_max):
             q = jnp.cross(tv, ab)
             v = jnp.sum(d * q, axis=-1) * inv_det
             t = jnp.sum(ac * q, axis=-1) * inv_det
+            # Deterministic tie rule (VERDICT r2 #8): strictly closer
+            # wins; equal t -> lower primitive index wins.  Matches the
+            # reference's strict t_max shrink (geom.rs:188-195 passes
+            # closest_so_far as t_max and roots are rejected at
+            # t_max <= root, geom.rs:64-75), and makes the winner
+            # independent of traversal order, so ordered front-to-back
+            # kernels are bit-identical to this DFS fallback.
             ok = (valid
                   & det_ok
                   & (u >= 0.0) & (u <= 1.0)
                   & (v >= 0.0) & (u + v <= 1.0)
-                  & (t >= t_min)
-                  & (t <= jnp.minimum(best_t, t_max)))
+                  & (t >= t_min) & (t <= t_max)
+                  & ((t < best_t) | ((t == best_t) & (ti < best_i))))
             best_i = jnp.where(ok, ti, best_i)
             best_u = jnp.where(ok, u, best_u)
             best_v = jnp.where(ok, v, best_v)
@@ -380,7 +387,10 @@ def intersect_bvh_spheres(spheres, bvh: FlatBVH, o, d, t_min, t_max):
             ok0 = ok & (root0 >= t_min) & (root0 <= lim)
             ok1 = ok & (root1 >= t_min) & (root1 <= lim)
             root = jnp.where(ok0, root0, jnp.where(ok1, root1, INF))
-            better = root < best_t
+            # Tie rule: equal root -> lower sphere index (see the
+            # triangle traversal above).  root==INF ties are inert
+            # (best_i starts at 0, si >= 0).
+            better = (root < best_t) | ((root == best_t) & (si < best_i))
             best_t = jnp.where(better, root, best_t)
             best_i = jnp.where(better, si, best_i)
 

@@ -265,10 +265,17 @@ def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:
             q = jnp.cross(tv, ab)
             v = jnp.sum(d_l * q, axis=-1) * inv_det
             t = jnp.sum(ac * q, axis=-1) * inv_det
+            # Deterministic tie rule (VERDICT r2 #8): strictly closer
+            # wins; equal t -> lexicographic lower (instance, triangle).
+            # Order-invariant, so the ordered Pallas TLAS kernel matches
+            # this fallback bit-exactly.
             ok = (valid & det_ok
                   & (u >= 0.0) & (u <= 1.0)
                   & (v >= 0.0) & (u + v <= 1.0)
-                  & (t >= t_min) & (t <= jnp.minimum(bt, t_max)))
+                  & (t >= t_min) & (t <= t_max)
+                  & ((t < bt) | ((t == bt)
+                                 & ((inst < b_inst)
+                                    | ((inst == b_inst) & (ti < bi))))))
             bi = jnp.where(ok, ti, bi)
             bu = jnp.where(ok, u, bu)
             bv = jnp.where(ok, v, bv)

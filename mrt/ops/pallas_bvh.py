@@ -67,7 +67,9 @@ def _kernel(scalars_ref, nodes_ref, meta_ref, sph_ref, o_ref, d_ref,
         ok0 = ok & (r0 >= t_min) & (r0 <= lim)
         ok1 = ok & (r1 >= t_min) & (r1 <= lim)
         root = jnp.where(ok0, r0, jnp.where(ok1, r1, INF))
-        better = root < bt
+        # Tie rule: equal root -> lower index (order-invariant; matches
+        # geometry.bvh.intersect_bvh_spheres bit-exactly).
+        better = (root < bt) | ((root == bt) & (s < bi))
         return jnp.where(better, root, bt), jnp.where(better, s, bi)
 
     def cond(carry):
@@ -257,9 +259,12 @@ def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
         qz = tvx * aby - tvy * abx
         v = (dx * qx + dy * qy + dz * qz) * inv_det
         t = (acx * qx + acy * qy + acz * qz) * inv_det
+        # Tie rule: equal t -> lower triangle index (order-invariant;
+        # matches geometry.bvh.intersect_bvh_tris bit-exactly).
         ok = (det_ok & (u >= 0.0) & (u <= 1.0)
               & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= t_min) & (t <= jnp.minimum(bt, t_max)))
+              & (t >= t_min) & (t <= t_max)
+              & ((t < bt) | ((t == bt) & (s < bi))))
         return (jnp.where(ok, t, bt), jnp.where(ok, s, bi),
                 jnp.where(ok, u, bu), jnp.where(ok, v, bv))
 
@@ -522,9 +527,16 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
                 qz = tvx * aby - tvy * abx
                 v = (ldx * qx + ldy * qy + ldz * qz) * inv_det
                 t = (acx * qx + acy * qy + acz * qz) * inv_det
+                # Tie rule: equal t -> lexicographic lower
+                # (instance, triangle) — order-invariant; matches
+                # geometry.instance.intersect_tlas bit-exactly.
                 ok = (det_ok & (u >= 0.0) & (u <= 1.0)
                       & (v >= 0.0) & (u + v <= 1.0)
-                      & (t >= t_min) & (t <= jnp.minimum(bt, t_max)))
+                      & (t >= t_min) & (t <= t_max)
+                      & ((t < bt) | ((t == bt)
+                                     & ((inst < b_inst)
+                                        | ((inst == b_inst)
+                                           & (s < b_tri))))))
                 return (jnp.where(ok, t, bt),
                         jnp.where(ok, inst, b_inst),
                         jnp.where(ok, s, b_tri),

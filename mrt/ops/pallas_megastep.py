@@ -66,7 +66,9 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 BLOCK_ROWS = 8                 # 1024 rays per grid program
 BLOCK = BLOCK_ROWS * LANE
-LEAF_SIZE = 4                  # must match geometry.bvh.LEAF_SIZE
+# Single source of truth (a hardcoded copy here silently missed 12 of
+# 16 leaf spheres when the default leaf size moved 4 -> 16).
+from ..geometry.bvh import LEAF_SIZE
 INF = float("inf")
 TAU = float(2.0 * np.pi)
 NEAR_ZERO_EPS = 1e-5           # math/vec.py NEAR_ZERO_EPS
@@ -240,7 +242,7 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
 
         def sphere_test(s, carry):
             (bt, cx0, cy0, cz0, r0_, al0, al1, al2, fz, io, mt,
-             e0, e1, e2) = carry
+             e0, e1, e2, bi) = carry
             cx = sph_ref[0, s]
             cy = sph_ref[1, s]
             cz = sph_ref[2, s]
@@ -256,7 +258,9 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
             ok0 = ok & (rt0 >= t_min) & (rt0 <= bt)
             ok1 = ok & (rt1 >= t_min) & (rt1 <= bt)
             root = jnp.where(ok0, rt0, jnp.where(ok1, rt1, INF))
-            better = root < bt
+            # Tie rule: equal root -> lower index (matches the XLA
+            # step's traversal bit-exactly; see geometry/bvh.py).
+            better = (root < bt) | ((root == bt) & (s < bi))
             sel = lambda new, old: jnp.where(better, new, old)
             return (sel(root, bt),
                     sel(cx, cx0), sel(cy, cy0), sel(cz, cz0), sel(r, r0_),
@@ -264,7 +268,7 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
                     sel(smat_ref[2, s], al2), sel(smat_ref[3, s], fz),
                     sel(smat_ref[4, s], io), sel(smat_ref[5, s], mt),
                     sel(smat_ref[6, s], e0), sel(smat_ref[7, s], e1),
-                    sel(smat_ref[8, s], e2))
+                    sel(smat_ref[8, s], e2), sel(s, bi))
 
         def t_cond(carry):
             return carry[0] < n_nodes
@@ -301,7 +305,8 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
 
         zf = jnp.zeros_like(a)
         init_leaf = (jnp.full_like(a, INF), zf, zf, zf, zf + 1.0,
-                     zf, zf, zf, zf, zf + 1.0, zf - 1.0, zf, zf, zf)
+                     zf, zf, zf, zf, zf + 1.0, zf - 1.0, zf, zf, zf,
+                     jnp.zeros_like(a, dtype=jnp.int32))
         if isect == "dense":
             # Flat sweep over every sphere (no BVH): constant work per
             # step regardless of ray coherence — the packet BVH pays
@@ -325,7 +330,7 @@ def _kernel(si_ref, sf_ref, nodes_ref, meta_ref, sph_ref, smat_ref,
             _, leafc = jax.lax.while_loop(t_cond, t_body,
                                           (jnp.int32(0), init_leaf))
         (bt, cx, cy, cz, rr, al0, al1, al2, fuzz, ior, mt,
-         e0, e1, e2) = leafc
+         e0, e1, e2, _) = leafc
 
         hit = bt < INF
         t_safe = jnp.where(hit, bt, 0.0)

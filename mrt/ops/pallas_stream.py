@@ -294,9 +294,16 @@ def _build_kernel(streamed, n_tlas, nodma=False):
                     qz = tvx * aby - tvy * abx
                     v = (ldx * qx + ldy * qy + ldz * qz) * inv_det
                     t = (acx * qx + acy * qy + acz * qz) * inv_det
+                    # Tie rule: equal t -> lexicographic lower
+                    # (instance, triangle); matches instance.py and the
+                    # SMEM-resident TLAS kernel bit-exactly.
                     ok = (det_ok & (u >= 0.0) & (u <= 1.0)
                           & (v >= 0.0) & (u + v <= 1.0)
-                          & (t >= t_min) & (t <= jnp.minimum(bt, t_max)))
+                          & (t >= t_min) & (t <= t_max)
+                          & ((t < bt) | ((t == bt)
+                                         & ((inst_c < b_inst)
+                                            | ((inst_c == b_inst)
+                                               & (s < b_tri))))))
                     return (jnp.where(ok, t, bt),
                             jnp.where(ok, inst_c, b_inst),
                             jnp.where(ok, s, b_tri),

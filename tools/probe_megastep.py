@@ -4,9 +4,14 @@ Measures per-step time of an 8-step block at pool 2^16 on RTIOW, then
 renders 480x270 spp=4 both ways and compares films (tolerant: FMA noise
 reroutes a small fraction of paths; the estimator is unchanged).
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 POOL = 1 << 16
 
