@@ -18,9 +18,11 @@ Per-element byte costs (must match the kernel table layouts):
   sphere kernel  : nodes (8,M) f32 + meta (4,M) i32 -> 48 B/node,
                    spheres (4,S) f32                -> 16 B/sphere
   tri kernel     : nodes 48 B/node, tris (9,T) f32  -> 36 B/tri
-  TLAS kernel    : tnodes (8,Mt) f32 + tmeta (2,Mt) i32 -> 40 B/node
+  TLAS kernel    : tnodes (8,Mt) f32 + tmeta (3,Mt) i32 -> 44 B/node
                    inst (12,I) f32 + imeta (2,I) i32    -> 56 B/inst
                    bnodes 48 B/node, tris 36 B/tri
+(meta row 3 of every node table carries the split axis for ordered
+front-to-back descent; tmeta grew 2 -> 3 rows for it.)
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ SPHERE_NODE_BYTES = 48
 SPHERE_BYTES = 16
 TRI_NODE_BYTES = 48
 TRI_BYTES = 36
-TLAS_NODE_BYTES = 40
+TLAS_NODE_BYTES = 44
 INSTANCE_BYTES = 56
 
 

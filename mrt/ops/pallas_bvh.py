@@ -31,9 +31,37 @@ from .pallas_spheres import LANE, BLOCK_ROWS
 INF = float("inf")
 from ..geometry.bvh import LEAF_SIZE  # single source of truth
 
+import os as _os
+
+# Ordered (front-to-back) traversal: at each inner node descend the
+# child nearer along the node's split axis for the packet's majority
+# ray direction, pushing the far child on a per-packet SMEM stack.
+# Early near hits shrink best-t, so far subtrees fail their slab test
+# when popped — the packet analogue of the reference's recursive
+# "left first, shrink t_max, then right" order (geom.rs:185-200).
+# The deterministic tie rule makes results bit-identical to the
+# DFS/escape order, so this is a pure scheduling choice.
+ORDERED = _os.environ.get("MRT_ORDERED", "1") != "0"
+# Median-split trees are balanced: depth <= ceil(log2(T)) <= 31 for any
+# i32 primitive count, and only inner-node descents push.
+STACK_DEPTH = 64
+
+
+def _majority_negs(dx, dy, dz, t_max, t_min):
+    """Per-packet majority direction sign along each axis, counting
+    only live lanes (pad lanes carry t_max == t_min)."""
+    valid = t_max > t_min
+    nv = jnp.sum(valid.astype(jnp.int32))
+    neg = lambda c: jnp.sum(((c < 0.0) & valid).astype(jnp.int32)) * 2 > nv
+    return neg(dx), neg(dy), neg(dz)
+
+
+def _pick_neg(ax, negx, negy, negz):
+    return jnp.where(ax == 0, negx, jnp.where(ax == 1, negy, negz))
+
 
 def _kernel(scalars_ref, nodes_ref, meta_ref, sph_ref, o_ref, d_ref,
-            tmax_ref, t_out, i_out, *, n_nodes):
+            tmax_ref, t_out, i_out, stack_ref, *, n_nodes, ordered):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     inv_dx = 1.0 / dx
@@ -43,6 +71,8 @@ def _kernel(scalars_ref, nodes_ref, meta_ref, sph_ref, o_ref, d_ref,
     inv_a = 1.0 / a
     t_min = scalars_ref[0]
     t_max = tmax_ref[:]
+    if ordered:
+        negx, negy, negz = _majority_negs(dx, dy, dz, t_max, t_min)
 
     def slab(lo, hi, o_c, inv_c, near, far):
         t0 = (lo - o_c) * inv_c
@@ -73,11 +103,11 @@ def _kernel(scalars_ref, nodes_ref, meta_ref, sph_ref, o_ref, d_ref,
         return jnp.where(better, root, bt), jnp.where(better, s, bi)
 
     def cond(carry):
-        node, _, _ = carry
+        node = carry[0]
         return node < n_nodes
 
     def body(carry):
-        node, bt, bi = carry
+        node, sp, bt, bi = carry
         # nodes layout (8, M): bminx/y/z, bmaxx/y/z rows (f32).
         near = jnp.full_like(bt, t_min)
         far = jnp.minimum(bt, t_max)
@@ -91,7 +121,6 @@ def _kernel(scalars_ref, nodes_ref, meta_ref, sph_ref, o_ref, d_ref,
 
         first = meta_ref[0, node]
         count = meta_ref[1, node]
-        escape = meta_ref[2, node]
         is_leaf = count > 0
 
         def test_leaf(carry):
@@ -107,24 +136,42 @@ def _kernel(scalars_ref, nodes_ref, meta_ref, sph_ref, o_ref, d_ref,
         do_leaf = any_hit & is_leaf
         bt, bi = jax.lax.cond(do_leaf, test_leaf, lambda c: c, (bt, bi))
 
-        node = jnp.where(any_hit & ~is_leaf, node + 1, escape)
-        return node, bt, bi
+        descend = any_hit & ~is_leaf
+        if ordered:
+            c1 = node + 1
+            c2 = meta_ref[2, jnp.minimum(c1, n_nodes - 1)]
+            neg = _pick_neg(meta_ref[3, node], negx, negy, negz)
+            near_c = jnp.where(neg, c2, c1)
+            far_c = jnp.where(neg, c1, c2)
+            popped = stack_ref[jnp.maximum(sp - 1, 0)]
 
-    init = (jnp.int32(0), jnp.full_like(a, INF),
+            @pl.when(descend)
+            def _():
+                stack_ref[sp] = far_c
+
+            node = jnp.where(descend, near_c,
+                             jnp.where(sp > 0, popped, n_nodes))
+            sp = jnp.where(descend, sp + 1, jnp.maximum(sp - 1, 0))
+        else:
+            node = jnp.where(descend, node + 1, meta_ref[2, node])
+        return node, sp, bt, bi
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.full_like(a, INF),
             jnp.zeros_like(a, dtype=jnp.int32))
-    _, bt, bi = jax.lax.while_loop(cond, body, init)
+    _, _, bt, bi = jax.lax.while_loop(cond, body, init)
     t_out[:] = bt
     i_out[:] = bi
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _traverse(nodes, meta, sph, o3, d3, t_min, t_max2, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "ordered"))
+def _traverse(nodes, meta, sph, o3, d3, t_min, t_max2, interpret=False,
+              ordered=ORDERED):
     r = o3.shape[1]
     m = nodes.shape[1]
     grid = (pl.cdiv(r, BLOCK_ROWS),)
     scalars = jnp.stack([jnp.asarray(t_min, jnp.float32)])
 
-    kernel = functools.partial(_kernel, n_nodes=m)
+    kernel = functools.partial(_kernel, n_nodes=m, ordered=ordered)
     t, i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -154,6 +201,7 @@ def _traverse(nodes, meta, sph, o3, d3, t_min, t_max2, interpret=False):
                 pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
                              memory_space=pltpu.VMEM),
             ],
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((r, LANE), jnp.float32),
@@ -183,6 +231,10 @@ def intersect_bvh_spheres(spheres, bvh, o, d, t_min, t_max,
     meta = meta.at[0].set(bvh.first)
     meta = meta.at[1].set(bvh.count)
     meta = meta.at[2].set(bvh.escape)
+    # Row 3: the split axis (the build's widest-axis rule over the
+    # node's own bounds) — drives ordered front-to-back descent.
+    meta = meta.at[3].set(jnp.argmax(bvh.bmax - bvh.bmin,
+                                     axis=1).astype(jnp.int32))
 
     s = spheres.count
     s_pad = max(8, -(-s // 8) * 8)
@@ -222,7 +274,8 @@ def intersect_bvh_spheres(spheres, bvh, o, d, t_min, t_max,
 
 
 def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
-                tmax_ref, t_out, i_out, u_out, v_out, *, n_nodes):
+                tmax_ref, t_out, i_out, u_out, v_out, stack_ref, *,
+                n_nodes, ordered):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     inv_dx = 1.0 / dx
@@ -231,6 +284,8 @@ def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
     t_min = scalars_ref[0]
     det_eps = scalars_ref[1]
     t_max = tmax_ref[:]
+    if ordered:
+        negx, negy, negz = _majority_negs(dx, dy, dz, t_max, t_min)
 
     def slab(lo, hi, o_c, inv_c, near, far):
         t0 = (lo - o_c) * inv_c
@@ -272,7 +327,7 @@ def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
         return carry[0] < n_nodes
 
     def body(carry):
-        node, bt, bi, bu, bv = carry
+        node, sp, bt, bi, bu, bv = carry
         near = jnp.full_like(bt, t_min)
         far = jnp.minimum(bt, t_max)
         near, far = slab(nodes_ref[0, node], nodes_ref[3, node],
@@ -285,7 +340,6 @@ def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
 
         first = meta_ref[0, node]
         count = meta_ref[1, node]
-        escape = meta_ref[2, node]
         is_leaf = count > 0
 
         def test_leaf(c):
@@ -302,29 +356,46 @@ def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
 
         bt, bi, bu, bv = jax.lax.cond(any_hit & is_leaf, test_leaf,
                                       lambda c: c, (bt, bi, bu, bv))
-        node = jnp.where(any_hit & ~is_leaf, node + 1, escape)
-        return node, bt, bi, bu, bv
+        descend = any_hit & ~is_leaf
+        if ordered:
+            c1 = node + 1
+            c2 = meta_ref[2, jnp.minimum(c1, n_nodes - 1)]
+            neg = _pick_neg(meta_ref[3, node], negx, negy, negz)
+            near_c = jnp.where(neg, c2, c1)
+            far_c = jnp.where(neg, c1, c2)
+            popped = stack_ref[jnp.maximum(sp - 1, 0)]
+
+            @pl.when(descend)
+            def _():
+                stack_ref[sp] = far_c
+
+            node = jnp.where(descend, near_c,
+                             jnp.where(sp > 0, popped, n_nodes))
+            sp = jnp.where(descend, sp + 1, jnp.maximum(sp - 1, 0))
+        else:
+            node = jnp.where(descend, node + 1, meta_ref[2, node])
+        return node, sp, bt, bi, bu, bv
 
     zero = jnp.zeros_like(t_max)
-    init = (jnp.int32(0), jnp.full_like(t_max, INF),
+    init = (jnp.int32(0), jnp.int32(0), jnp.full_like(t_max, INF),
             jnp.zeros_like(t_max, dtype=jnp.int32), zero, zero)
-    _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, init)
+    _, _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, init)
     t_out[:] = bt
     i_out[:] = bi
     u_out[:] = bu
     v_out[:] = bv
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "ordered"))
 def _traverse_tris(nodes, meta, tri, o3, d3, t_min, det_eps, t_max2,
-                   interpret=False):
+                   interpret=False, ordered=ORDERED):
     r = o3.shape[1]
     m = nodes.shape[1]
     grid = (pl.cdiv(r, BLOCK_ROWS),)
     scalars = jnp.stack([jnp.asarray(t_min, jnp.float32),
                          jnp.asarray(det_eps, jnp.float32)])
 
-    kernel = functools.partial(_tri_kernel, n_nodes=m)
+    kernel = functools.partial(_tri_kernel, n_nodes=m, ordered=ordered)
     ray_spec = pl.BlockSpec((3, BLOCK_ROWS, LANE), lambda g, c: (0, g, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((BLOCK_ROWS, LANE), lambda g, c: (g, 0),
@@ -344,6 +415,7 @@ def _traverse_tris(nodes, meta, tri, o3, d3, t_min, det_eps, t_max2,
                 ray_spec, ray_spec, out_spec,
             ],
             out_specs=[out_spec] * 4,
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((r, LANE), jnp.float32),
@@ -373,6 +445,8 @@ def intersect_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
     meta = meta.at[0].set(bvh.first)
     meta = meta.at[1].set(bvh.count)
     meta = meta.at[2].set(bvh.escape)
+    meta = meta.at[3].set(jnp.argmax(bvh.bmax - bvh.bmin,
+                                     axis=1).astype(jnp.int32))
 
     t_cnt = tris.count
     t_pad = max(8, -(-t_cnt // 8) * 8)
@@ -415,7 +489,8 @@ def intersect_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
 
 def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
                  bnodes_ref, bmeta_ref, tri_ref, o_ref, d_ref, tmax_ref,
-                 t_out, inst_out, tri_out, u_out, v_out, *, n_tlas):
+                 t_out, inst_out, tri_out, u_out, v_out, stack_ref, *,
+                 n_tlas):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     # Inverse directions hoisted: the ray only changes on instance
@@ -579,16 +654,227 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
     v_out[:] = out[17]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tlas_kernel_ordered(scalars_ref, tnodes_ref, tmeta_ref, inst_ref,
+                         imeta_ref, bnodes_ref, bmeta_ref, tri_ref,
+                         o_ref, d_ref, tmax_ref, t_out, inst_out,
+                         tri_out, u_out, v_out, stack_ref, *, n_tlas):
+    """Front-to-back two-level traversal with one tagged SMEM stack.
+
+    Stack entries >= 0 are TLAS nodes; BLAS far children are pushed as
+    -(node+1).  Popping a TLAS-tagged entry while inside an instance
+    exits it (all BLAS entries of the current instance live above the
+    last TLAS entry, so LIFO order makes this exact).  Entering an
+    instance pushes nothing: its continuation is simply the next pop.
+    Results are bit-identical to `_tlas_kernel` (deterministic tie
+    rule); only the visit schedule differs.
+    """
+    ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
+    dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+    t_min = scalars_ref[0]
+    det_eps = scalars_ref[1]
+    t_max = tmax_ref[:]
+    wnegx, wnegy, wnegz = _majority_negs(dx, dy, dz, t_max, t_min)
+
+    def slab(lo, hi, o_c, inv_c, near, far):
+        t0 = (lo - o_c) * inv_c
+        t1 = (hi - o_c) * inv_c
+        return (jnp.maximum(near, jnp.minimum(t0, t1)),
+                jnp.minimum(far, jnp.maximum(t0, t1)))
+
+    def cond(c):
+        cur, inst = c[0], c[1]
+        return (inst >= 0) | (cur < n_tlas)
+
+    def body(c):
+        (cur, inst, sp,
+         lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
+         lnegx, lnegy, lnegz,
+         bt, b_inst, b_tri, bu, bv) = c
+
+        # Each phase returns:
+        #  (do_push, push_val, do_pop, cur_n, inst_n,
+        #   local ray 9, local negs 3, bt, b_inst, b_tri, bu, bv)
+        def tlas_phase(_):
+            n = cur
+            near = jnp.full_like(bt, t_min)
+            far = jnp.minimum(bt, t_max)
+            near, far = slab(tnodes_ref[0, n], tnodes_ref[3, n],
+                             ox, inv_dx, near, far)
+            near, far = slab(tnodes_ref[1, n], tnodes_ref[4, n],
+                             oy, inv_dy, near, far)
+            near, far = slab(tnodes_ref[2, n], tnodes_ref[5, n],
+                             oz, inv_dz, near, far)
+            any_hit = jnp.any(near <= far)
+            leaf_inst = tmeta_ref[0, n]
+            is_leaf = leaf_inst >= 0
+            enter = any_hit & is_leaf
+            descend = any_hit & ~is_leaf
+
+            def do_enter(_):
+                i = leaf_inst
+                r = [inst_ref[k, i] for k in range(12)]
+                nlox = r[0] * ox + r[1] * oy + r[2] * oz + r[9]
+                nloy = r[3] * ox + r[4] * oy + r[5] * oz + r[10]
+                nloz = r[6] * ox + r[7] * oy + r[8] * oz + r[11]
+                nldx = r[0] * dx + r[1] * dy + r[2] * dz
+                nldy = r[3] * dx + r[4] * dy + r[5] * dz
+                nldz = r[6] * dx + r[7] * dy + r[8] * dz
+                lnx, lny, lnz = _majority_negs(nldx, nldy, nldz,
+                                               t_max, t_min)
+                return (imeta_ref[0, i], i,
+                        nlox, nloy, nloz, nldx, nldy, nldz,
+                        1.0 / nldx, 1.0 / nldy, 1.0 / nldz,
+                        lnx, lny, lnz)
+
+            def no_enter(_):
+                return (cur, jnp.int32(-1),
+                        lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
+                        lnegx, lnegy, lnegz)
+
+            (e_cur, inst_n, nlox, nloy, nloz, nldx, nldy, nldz,
+             nlix, nliy, nliz, lnx, lny, lnz) = jax.lax.cond(
+                enter, do_enter, no_enter, None)
+
+            c1 = n + 1
+            c2 = tmeta_ref[1, jnp.minimum(c1, n_tlas - 1)]
+            neg = _pick_neg(tmeta_ref[2, n], wnegx, wnegy, wnegz)
+            near_c = jnp.where(neg, c2, c1)
+            far_c = jnp.where(neg, c1, c2)
+            cur_n = jnp.where(enter, e_cur, near_c)
+            return (descend, far_c, ~enter & ~descend, cur_n, inst_n,
+                    nlox, nloy, nloz, nldx, nldy, nldz,
+                    nlix, nliy, nliz, lnx, lny, lnz,
+                    bt, b_inst, b_tri, bu, bv)
+
+        def blas_phase(_):
+            n = cur
+            near = jnp.full_like(bt, t_min)
+            far = jnp.minimum(bt, t_max)
+            near, far = slab(bnodes_ref[0, n], bnodes_ref[3, n],
+                             lox, lix, near, far)
+            near, far = slab(bnodes_ref[1, n], bnodes_ref[4, n],
+                             loy, liy, near, far)
+            near, far = slab(bnodes_ref[2, n], bnodes_ref[5, n],
+                             loz, liz, near, far)
+            any_hit = jnp.any(near <= far)
+            first = bmeta_ref[0, n]
+            count = bmeta_ref[1, n]
+            is_leaf = count > 0
+
+            def tri_test(s, carry):
+                bt, b_inst, b_tri, bu, bv = carry
+                vax, vay, vaz = tri_ref[0, s], tri_ref[1, s], tri_ref[2, s]
+                abx, aby, abz = tri_ref[3, s], tri_ref[4, s], tri_ref[5, s]
+                acx, acy, acz = tri_ref[6, s], tri_ref[7, s], tri_ref[8, s]
+                px = ldy * acz - ldz * acy
+                py = ldz * acx - ldx * acz
+                pz = ldx * acy - ldy * acx
+                det = abx * px + aby * py + abz * pz
+                det_ok = jnp.abs(det) >= det_eps
+                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                tvx, tvy, tvz = lox - vax, loy - vay, loz - vaz
+                u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * abz - tvz * aby
+                qy = tvz * abx - tvx * abz
+                qz = tvx * aby - tvy * abx
+                v = (ldx * qx + ldy * qy + ldz * qz) * inv_det
+                t = (acx * qx + acy * qy + acz * qz) * inv_det
+                ok = (det_ok & (u >= 0.0) & (u <= 1.0)
+                      & (v >= 0.0) & (u + v <= 1.0)
+                      & (t >= t_min) & (t <= t_max)
+                      & ((t < bt) | ((t == bt)
+                                     & ((inst < b_inst)
+                                        | ((inst == b_inst)
+                                           & (s < b_tri))))))
+                return (jnp.where(ok, t, bt),
+                        jnp.where(ok, inst, b_inst),
+                        jnp.where(ok, s, b_tri),
+                        jnp.where(ok, u, bu), jnp.where(ok, v, bv))
+
+            def test_leaf(carry):
+                for j in range(LEAF_SIZE):
+                    s = jnp.minimum(first + j, tri_ref.shape[1] - 1)
+                    res = tri_test(s, carry)
+                    take = j < count
+                    carry = tuple(jnp.where(take, r, c)
+                                  for r, c in zip(res, carry))
+                return carry
+
+            nbt, nb_inst, nb_tri, nbu, nbv = jax.lax.cond(
+                any_hit & is_leaf, test_leaf, lambda c: c,
+                (bt, b_inst, b_tri, bu, bv))
+
+            descend = any_hit & ~is_leaf
+            c1 = n + 1
+            c2 = bmeta_ref[2, jnp.minimum(c1, bmeta_ref.shape[1] - 1)]
+            neg = _pick_neg(bmeta_ref[3, n], lnegx, lnegy, lnegz)
+            near_c = jnp.where(neg, c2, c1)
+            far_c = jnp.where(neg, c1, c2)
+            return (descend, -(far_c + 1), ~descend,
+                    jnp.where(descend, near_c, cur), inst,
+                    lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
+                    lnegx, lnegy, lnegz,
+                    nbt, nb_inst, nb_tri, nbu, nbv)
+
+        (do_push, push_val, do_pop, cur_n, inst_n,
+         lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
+         lnegx, lnegy, lnegz,
+         bt, b_inst, b_tri, bu, bv) = jax.lax.cond(
+            inst >= 0, blas_phase, tlas_phase, None)
+
+        popped = stack_ref[jnp.maximum(sp - 1, 0)]
+
+        @pl.when(do_push)
+        def _():
+            stack_ref[sp] = push_val
+
+        have = sp > 0
+        isb = popped < 0
+        cur2 = jnp.where(do_pop,
+                         jnp.where(have,
+                                   jnp.where(isb, -(popped + 1), popped),
+                                   n_tlas),
+                         cur_n)
+        inst2 = jnp.where(do_pop,
+                          jnp.where(have & isb, inst_n, jnp.int32(-1)),
+                          inst_n)
+        sp2 = jnp.where(do_push, sp + 1,
+                        jnp.where(do_pop, jnp.maximum(sp - 1, 0), sp))
+        return (cur2, inst2, sp2,
+                lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
+                lnegx, lnegy, lnegz,
+                bt, b_inst, b_tri, bu, bv)
+
+    zero = jnp.zeros_like(t_max)
+    izero = jnp.zeros_like(t_max, dtype=jnp.int32)
+    f = jnp.bool_(False)
+    init = (jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+            zero, zero, zero, zero, zero, zero, zero, zero, zero,
+            f, f, f,
+            jnp.full_like(t_max, INF), izero - 1, izero, zero, zero)
+    out = jax.lax.while_loop(cond, body, init)
+    t_out[:] = out[15]
+    inst_out[:] = out[16]
+    tri_out[:] = out[17]
+    u_out[:] = out[18]
+    v_out[:] = out[19]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ordered"))
 def _traverse_tlas(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
-                   o3, d3, t_min, det_eps, t_max2, interpret=False):
+                   o3, d3, t_min, det_eps, t_max2, interpret=False,
+                   ordered=ORDERED):
     r = o3.shape[1]
     mt = tnodes.shape[1]
     grid = (pl.cdiv(r, BLOCK_ROWS),)
     scalars = jnp.stack([jnp.asarray(t_min, jnp.float32),
                          jnp.asarray(det_eps, jnp.float32)])
 
-    kernel = functools.partial(_tlas_kernel, n_tlas=mt)
+    kernel = functools.partial(
+        _tlas_kernel_ordered if ordered else _tlas_kernel, n_tlas=mt)
     smem = lambda shape: pl.BlockSpec(shape, lambda g, c: tuple(
         0 for _ in shape), memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((3, BLOCK_ROWS, LANE), lambda g, c: (0, g, 0),
@@ -607,6 +893,9 @@ def _traverse_tlas(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
                 ray_spec, ray_spec, out_spec,
             ],
             out_specs=[out_spec] * 5,
+            # One tagged stack: TLAS depth + BLAS depth (balanced
+            # median-split trees are <= 31 deep each).
+            scratch_shapes=[pltpu.SMEM((96,), jnp.int32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((r, LANE), jnp.float32),
@@ -635,9 +924,11 @@ def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False):
     tnodes = jnp.zeros((8, mt), jnp.float32)
     tnodes = tnodes.at[0:3].set(tlas.t_bmin.T)
     tnodes = tnodes.at[3:6].set(tlas.t_bmax.T)
-    tmeta = jnp.zeros((2, mt), jnp.int32)
+    tmeta = jnp.zeros((3, mt), jnp.int32)
     tmeta = tmeta.at[0].set(tlas.t_inst)
     tmeta = tmeta.at[1].set(tlas.t_escape)
+    tmeta = tmeta.at[2].set(jnp.argmax(tlas.t_bmax - tlas.t_bmin,
+                                       axis=1).astype(jnp.int32))
 
     inv = tlas.inv_transform
     inst = jnp.concatenate(
@@ -652,6 +943,8 @@ def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False):
     bmeta = bmeta.at[0].set(tlas.first)
     bmeta = bmeta.at[1].set(tlas.count)
     bmeta = bmeta.at[2].set(tlas.escape)
+    bmeta = bmeta.at[3].set(jnp.argmax(tlas.bmax - tlas.bmin,
+                                       axis=1).astype(jnp.int32))
 
     t_cnt = tris.count
     tri = jnp.zeros((9, max(8, t_cnt)), jnp.float32)

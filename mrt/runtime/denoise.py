@@ -35,18 +35,30 @@ def _box3(img):
     return acc / 9.0
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "firefly_k"))
 def denoise(rgb, albedo=None, normal=None, iterations=4,
-            sigma_color=0.35, sigma_albedo=0.15, sigma_normal=0.25):
+            sigma_color=0.35, sigma_albedo=0.15, sigma_normal=0.25,
+            firefly_k=4.0):
     """Edge-aware à-trous filter.
 
     Args:
       rgb: (H,W,3) tonemapped color (like OIDN's srgb in-place input).
       albedo/normal: optional (H,W,3) guides (main.rs:733-737 uses both
         when available, else filters unguided, main.rs:738-744).
+      firefly_k: outlier pre-clamp — pixels brighter than the 3x3
+        neighbour mean + k*std are pulled down to that bound before
+        filtering.  Low-spp interiors (cornell at 4 spp) are sparse
+        bright speckles on black; without the clamp each speckle
+        survives the range weights and dominates its neighbourhood.
+        None/0 disables.
     Returns filtered (H,W,3).
     """
     out = rgb
+    if firefly_k:
+        mu = _box3(out)
+        var = jnp.maximum(_box3(out * out) - mu * mu, 0.0)
+        hi = mu + firefly_k * jnp.sqrt(var) + 1e-4
+        out = jnp.minimum(out, hi)
     for it in range(iterations):
         step = 1 << it
         # SVGF-style variance-adaptive color weight: normalise the color

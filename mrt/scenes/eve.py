@@ -20,6 +20,7 @@ assets under models/ to render the originals.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -130,7 +131,11 @@ def load_ship(sb: SceneBuilder, mats: MaterialBuilder,
     pmdg_suffix = _PMDG_SUFFIX.get(hull, "_pmdg")
     asset_dir = resolve(asset_dir)
     obj_path = os.path.join(asset_dir, obj_name)
-    rng = np.random.default_rng(seed + hash(hull) % (1 << 16))
+    # Stable string hash: Python's hash() is PYTHONHASHSEED-randomised
+    # per process, which made the procedural stand-in textures (and so
+    # EVE film means) differ run to run.
+    rng = np.random.default_rng(
+        seed + zlib.crc32(hull.encode()) % (1 << 16))
 
     if os.path.exists(obj_path):
         no = atlas.add_png(os.path.join(asset_dir, f"{prefix}_no.png"),

@@ -17,7 +17,10 @@ def test_constants_match_stream_group_layout():
     # pallas_stream.GROUPS is (f32 rows, i32 rows) per group and IS the
     # layout its kernel DMAs — 4 bytes per row entry.
     frows, irows = pallas_stream.GROUPS["tlas"]
-    assert budget.TLAS_NODE_BYTES == 4 * (frows + irows)
+    # The resident TLAS kernel carries one extra i32 row (the split
+    # axis for ordered descent) that the streamed kernel does not; the
+    # budget gates the RESIDENT kernel, so it counts the wider row.
+    assert budget.TLAS_NODE_BYTES == 4 * (frows + irows + 1)
     frows, irows = pallas_stream.GROUPS["inst"]
     assert budget.INSTANCE_BYTES == 4 * (frows + irows)
     frows, irows = pallas_stream.GROUPS["blas"]
@@ -55,7 +58,7 @@ def test_tlas_accounting_matches_packed_shapes():
     g = budget.tlas_group_bytes(tlas)
     # The packed arrays pallas_stream builds must weigh exactly what the
     # accounting claims (before lane padding).
-    assert g["tlas"] == tlas.n_tlas_nodes * (8 * 4 + 2 * 4)
+    assert g["tlas"] == tlas.n_tlas_nodes * (8 * 4 + 3 * 4)
     assert g["inst"] == tlas.transform.shape[0] * (12 * 4 + 2 * 4)
     assert g["blas"] == tlas.bmin.shape[0] * (8 * 4 + 4 * 4)
     assert g["tri"] == tlas.tris.count * 9 * 4

@@ -91,7 +91,7 @@ def test_budget_gate_consistency():
     assert budget.TRI_BYTES == 9 * 4
     # sphere kernel: nodes+meta as above; spheres (4,S) f32.
     assert budget.SPHERE_NODE_BYTES == 48 and budget.SPHERE_BYTES == 16
-    # TLAS kernel: tnodes (8,Mt) f32 + tmeta (2,Mt) i32; inst (12,I) f32
-    # + imeta (2,I) i32.
-    assert budget.TLAS_NODE_BYTES == 8 * 4 + 2 * 4
+    # TLAS kernel: tnodes (8,Mt) f32 + tmeta (3,Mt) i32 (t_inst,
+    # t_escape, split axis); inst (12,I) f32 + imeta (2,I) i32.
+    assert budget.TLAS_NODE_BYTES == 8 * 4 + 3 * 4
     assert budget.INSTANCE_BYTES == 12 * 4 + 2 * 4

@@ -66,6 +66,7 @@ def main():
     mega_nodep = jax.jit(lambda st: mega_block(st, ablate="nodep"))
     mega_dense = jax.jit(lambda st: mega_block(st, isect="dense"))
 
+    steps_ms = {}
     for name, fn in (("xla", xla_block), ("mega", mega_block_j),
                      ("mega-nodep", mega_nodep),
                      ("mega-dense", mega_dense)):
@@ -76,6 +77,7 @@ def main():
             st = fn(st)
         jax.block_until_ready(st)
         dt = (time.time() - t0) / (reps * K)
+        steps_ms[name] = round(dt * 1e3, 3)
         print(f"{name:5s} {dt*1e3:7.3f} ms/step", flush=True)
 
     # Film agreement at preview size.
@@ -99,6 +101,27 @@ def main():
           f"pixel agreement {close.mean():.4f}  "
           f"mean {a.mean():.5f} vs {b.mean():.5f}", flush=True)
     print("depth sums:", int(got_d.sum()), int(ref_d.sum()), flush=True)
+
+    # Committed, regenerable artifact (VERDICT r2 #10).
+    import json
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "megastep_r03.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({
+            "workload": f"rtiow {w}x{h} spp{samples} d{depth} "
+                        f"pool 2^16, per-step of {K}-step blocks",
+            "ms_per_step": steps_ms,
+            "film_check": {
+                "shape": f"{w2}x{h2} spp{spp} d16",
+                "xla_s": round(t_ref, 2), "mega_s": round(t_got, 2),
+                "pixel_agreement": round(float(close.mean()), 4),
+                "mega_mean": round(float(a.mean()), 5),
+                "xla_mean": round(float(b.mean()), 5),
+                "mega_depth_sum": int(got_d.sum()),
+                "xla_depth_sum": int(ref_d.sum()),
+            }}, f, indent=1)
+    print("wrote", out, flush=True)
     print("OK", flush=True)
 
 

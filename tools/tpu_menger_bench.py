@@ -6,11 +6,19 @@ the budget gate: resident packet kernel if it fits, streamed kernel
 otherwise).
 
   python tools/tpu_menger_bench.py [--sort=0|1|auto] [bake ...]
+
+Writes artifacts/menger_stream_r03.json (VERDICT r2 #10: every cited
+number has a committed, regenerable artifact).
 """
+import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
@@ -33,6 +41,7 @@ def main():
     W, H, SPP, DEPTH = 480, 270, 2, 8
     print("sort_rays:", sort_rays, flush=True)
 
+    rows = {}
     for bake in bakes:
         t0 = time.time()
         scene, camera = Menger(level=5, bake=bake).generate()
@@ -60,6 +69,21 @@ def main():
               f"{SPP}spp {W}x{H} d{DEPTH} "
               f"-> {rays/dt/1e3:.1f}k cam rays/s, "
               f"{segs/dt/1e6:.2f}M segs/s", flush=True)
+        rows[f"bake{bake}"] = {
+            "instances": int(scene.tlas.transform.shape[0]),
+            "tris": int(scene.tlas.tris.count),
+            "tables_kb": int(tb // 1024), "plan": plan,
+            "cold_s": round(cold, 1), "steady_s": round(dt, 2),
+            "cam_rays_per_sec": round(rays / dt, 1),
+            "film_mean": round(float(np.asarray(film.sum).mean()), 5)}
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts",
+        "menger_stream_r03.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({"shape": f"{W}x{H} d{DEPTH} spp{SPP}",
+                   "sort_rays": sort_rays, "bakes": rows}, f, indent=1)
+    print("wrote", out, flush=True)
     print("MENGER_BENCH_OK", flush=True)
 
 
