@@ -59,6 +59,11 @@ class TLAS:
     count: jnp.ndarray      # (Mb,)
     escape: jnp.ndarray     # (Mb,) global node index
     tris: Triangles         # concatenated, BVH-ordered
+    # Per-instance global triangle range of the instance's mesh —
+    # consumed by the gather-free instanced brute path
+    # (geometry/tlas_brute.py); None on pre-existing pytrees.
+    tri_first: jnp.ndarray = None   # (I,)
+    tri_count: jnp.ndarray = None   # (I,)
 
     @property
     def n_tlas_nodes(self):
@@ -142,6 +147,12 @@ class MeshRegistry:
         roots = node_off_arr[mesh_ids]
         ends = roots + nodes_per[mesh_ids]
 
+        tri_off_arr = np.array(tri_off, np.int32)
+        tris_per = np.array([m[1].va.shape[0] for m in self._meshes],
+                            np.int32)
+        inst_tri_first = tri_off_arr[mesh_ids]
+        inst_tri_count = tris_per[mesh_ids]
+
         mesh_root_min = np.stack(
             [np.asarray(m[0].bmin[0]) for m in self._meshes])[mesh_ids]
         mesh_root_max = np.stack(
@@ -174,7 +185,9 @@ class MeshRegistry:
             first=jnp.asarray(np.concatenate(firsts)),
             count=jnp.asarray(np.concatenate(counts)),
             escape=jnp.asarray(np.concatenate(escapes)),
-            tris=tris)
+            tris=tris,
+            tri_first=jnp.asarray(inst_tri_first),
+            tri_count=jnp.asarray(inst_tri_count))
 
 
 def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:

@@ -108,6 +108,9 @@ class Scene:
             return False
         from ..ops import budget
         if self.tlas is not None:
+            from . import tlas_brute
+            if tlas_brute.wants_brute(self.tlas):
+                return False  # dense scan is coherence-insensitive
             if not budget.fits(budget.tlas_tables_bytes(self.tlas)):
                 return True  # HBM-streamed: always sort
             if self.tlas.transform.shape[0] >= self.SORT_MIN_INSTANCES:
@@ -213,7 +216,14 @@ class Scene:
             from . import spheres as sph_mod
             from ..ops import budget
             if sph_mod._use_pallas():
-                if budget.fits(budget.tlas_tables_bytes(self.tlas)):
+                from . import tlas_brute
+                if tlas_brute.wants_brute(self.tlas):
+                    # Small-geometry TLAS: dense instanced scan beats
+                    # packet traversal (divergence-insensitive; see
+                    # geometry/tlas_brute.py + probe_tlas_brute.py).
+                    hits = hits.closer_of(tlas_brute.intersect_tlas_brute(
+                        self.tlas, o, d, t_min, t_max))
+                elif budget.fits(budget.tlas_tables_bytes(self.tlas)):
                     from ..ops import pallas_bvh
                     hits = hits.closer_of(pallas_bvh.intersect_tlas(
                         self.tlas, o, d, t_min, t_max))

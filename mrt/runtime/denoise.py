@@ -36,8 +36,8 @@ def _box3(img):
 
 
 @partial(jax.jit, static_argnames=("iterations", "firefly_k"))
-def denoise(rgb, albedo=None, normal=None, iterations=4,
-            sigma_color=0.35, sigma_albedo=0.15, sigma_normal=0.25,
+def denoise(rgb, albedo=None, normal=None, iterations=3,
+            sigma_color=0.2, sigma_albedo=0.15, sigma_normal=0.25,
             firefly_k=4.0):
     """Edge-aware à-trous filter.
 
@@ -52,6 +52,15 @@ def denoise(rgb, albedo=None, normal=None, iterations=4,
         survives the range weights and dominates its neighbourhood.
         None/0 disables.
     Returns filtered (H,W,3).
+
+    Defaults were grid-searched against converged references on the
+    captured buffers (tools/denoise_tune.py, artifacts/
+    denoise_buffers.npz): iterations=3 + sigma_color=0.2 lifted rtiow
+    4-spp from 27.0 to 29.1 dB.  The no-NEE cornell regime is
+    energy-limited, not filter-limited — its 4-spp frame carries 18%
+    of the converged energy with 7% non-black pixels, so no post
+    filter can exceed ~11 dB there; the production answer is NEE
+    (see artifacts/denoise_r03.json's cornell_nee row).
     """
     out = rgb
     if firefly_k:
@@ -94,7 +103,7 @@ def denoise(rgb, albedo=None, normal=None, iterations=4,
     return out
 
 
-def make_denoiser(iterations=4):
+def make_denoiser(iterations=3):
     """Adapter matching Film.to_float_rgb's `denoiser` hook:
     (rgb, albedo, normal) -> rgb."""
     def fn(rgb, albedo, normal):

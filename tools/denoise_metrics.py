@@ -75,8 +75,17 @@ def main():
 
     size = args.size
     results = {}
-    for name in ("rtiow", "cornell"):
-        scene, camera = get(name)(aspect_ratio=1.0).generate()
+    # cornell_nee: the production low-spp path for enclosed interiors.
+    # The no-NEE cornell 4-spp frame carries ~18% of converged energy
+    # (7% non-black pixels) — an estimator gap no post filter can
+    # close, so the denoiser is also scored on the NEE estimator.
+    for name in ("rtiow", "cornell", "cornell_nee"):
+        nee = name.endswith("_nee")
+        scene, camera = get(name[:-4] if nee else name)(
+            aspect_ratio=1.0).generate()
+        if nee:
+            from mrt.geometry.scene import attach_lights
+            scene = attach_lights(scene)
         t0 = time.time()
         film_ref = render(scene, camera, size, size, spp=args.spp_ref,
                           max_depth=8, seed=1)
