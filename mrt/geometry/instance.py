@@ -64,6 +64,12 @@ class TLAS:
     # (geometry/tlas_brute.py); None on pre-existing pytrees.
     tri_first: jnp.ndarray = None   # (I,)
     tri_count: jnp.ndarray = None   # (I,)
+    # Per-instance world AABBs exactly as built into the TLAS leaves —
+    # every traversal path must cull against these same boxes so the
+    # deterministic winner is path-independent (a device-side einsum
+    # recompute can differ by ulps and flip a grazing cull).
+    w_min: jnp.ndarray = None       # (I,3)
+    w_max: jnp.ndarray = None       # (I,3)
 
     @property
     def n_tlas_nodes(self):
@@ -187,7 +193,9 @@ class MeshRegistry:
             escape=jnp.asarray(np.concatenate(escapes)),
             tris=tris,
             tri_first=jnp.asarray(inst_tri_first),
-            tri_count=jnp.asarray(inst_tri_count))
+            tri_count=jnp.asarray(inst_tri_count),
+            w_min=jnp.asarray(w_min.astype(np.float32)),
+            w_max=jnp.asarray(w_max.astype(np.float32)))
 
 
 def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:

@@ -108,9 +108,6 @@ class Scene:
             return False
         from ..ops import budget
         if self.tlas is not None:
-            from . import tlas_brute
-            if tlas_brute.wants_brute(self.tlas):
-                return False  # dense scan is coherence-insensitive
             if not budget.fits(budget.tlas_tables_bytes(self.tlas)):
                 return True  # HBM-streamed: always sort
             if self.tlas.transform.shape[0] >= self.SORT_MIN_INSTANCES:

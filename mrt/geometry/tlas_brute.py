@@ -45,12 +45,19 @@ from .instance import TLAS, expand_winner
 TRI_CHUNK = 64
 INST_CHUNK = 16
 
-# Auto-on ceiling: above this many unique triangles the per-round
-# dense scan loses to packet traversal (hardware-swept crossover,
-# tools/probe_tlas_brute.py).  Overridable via MRT_TLAS_KERNEL.
+# Auto-on ceiling in unique triangles.  PROVISIONAL: inherited from
+# the sphere brute-vs-BVH crossover (tools/probe_sphere_cross.py), a
+# different kernel; the TLAS-specific sweep is tools/probe_tlas_cross.py
+# and its committed artifact sets the real value.  Overridable via
+# MRT_TLAS_KERNEL.
 MAX_TRIS = 4096
 # rowlookup's one-hot path (and selection cost, linear in I).
 MAX_INSTANCES = 1024
+
+# Auto-enable gate: stays False until tools/probe_tlas_brute.py has
+# run on hardware with a committed artifacts/tlas_brute_r*.json
+# showing a win (the repo rule: speculative kernels ship opt-in).
+AUTO_ON = False
 
 
 def wants_brute(tlas: TLAS) -> bool:
@@ -59,6 +66,8 @@ def wants_brute(tlas: TLAS) -> bool:
     if kind == "brute":
         return True
     if kind and kind != "auto":
+        return False
+    if not (kind == "auto" or AUTO_ON):
         return False
     return (tlas.tri_first is not None
             and tlas.tris.count <= MAX_TRIS
@@ -84,22 +93,27 @@ def intersect_tlas_brute(tlas: TLAS, o, d, t_min, t_max) -> Hits:
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     inv_d = 1.0 / d
 
-    # ---- per-instance world AABBs (I-row gathers: cheap, and loop-
-    # invariant inside the persistent step so XLA's while-LICM hoists
-    # them).  Same 8-corner construction as the TLAS build
-    # (instance.py:149-155).
-    root_bmin = tlas.bmin[tlas.blas_root]                    # (I,3)
-    root_bmax = tlas.bmax[tlas.blas_root]
-    combos = jnp.asarray(
-        [[float(x), float(y), float(z)]
-         for x in (0, 1) for y in (0, 1) for z in (0, 1)], jnp.float32)
-    corners = (root_bmin[:, None, :] * (1.0 - combos[None])
-               + root_bmax[:, None, :] * combos[None])       # (I,8,3)
-    fwd = tlas.transform
-    wc = (jnp.einsum("iab,icb->ica", fwd[:, :3, :3], corners)
-          + fwd[:, None, :3, 3])
-    w_min = wc.min(axis=1)                                   # (I,3)
-    w_max = wc.max(axis=1)
+    # ---- per-instance world AABBs: the exact boxes the TLAS leaves
+    # were built from (instance.py build, stored as w_min/w_max) so
+    # this path culls identically to the packet/DFS traversals — a
+    # device-side recompute can differ by ulps and flip a grazing
+    # cull.  Fallback recompute only for pre-existing pytrees.
+    if tlas.w_min is not None:
+        w_min, w_max = tlas.w_min, tlas.w_max
+    else:
+        root_bmin = tlas.bmin[tlas.blas_root]                # (I,3)
+        root_bmax = tlas.bmax[tlas.blas_root]
+        combos = jnp.asarray(
+            [[float(x), float(y), float(z)]
+             for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+            jnp.float32)
+        corners = (root_bmin[:, None, :] * (1.0 - combos[None])
+                   + root_bmax[:, None, :] * combos[None])   # (I,8,3)
+        fwd = tlas.transform
+        wc = (jnp.einsum("iab,icb->ica", fwd[:, :3, :3], corners)
+              + fwd[:, None, :3, 3])
+        w_min = wc.min(axis=1)                               # (I,3)
+        w_max = wc.max(axis=1)
 
     # Instance row table for the per-round one-hot fetch: inverse
     # transform (12) + triangle range (2).  Range ints are < 2^24 so

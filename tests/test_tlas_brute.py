@@ -100,15 +100,21 @@ class TestTlasBrute:
         _assert_hits_equal(hx, hb)
 
     def test_wants_brute_gate(self, rng, monkeypatch):
+        from mrt.geometry import tlas_brute as tb
+
         tlas = _fleet_tlas(rng, ni=2)
+        # Default follows the AUTO_ON hardware gate (opt-in until a
+        # committed artifact shows a win).
         monkeypatch.delenv("MRT_TLAS_KERNEL", raising=False)
-        assert wants_brute(tlas)  # tiny geometry: auto-on
+        assert wants_brute(tlas) == tb.AUTO_ON
+        monkeypatch.setenv("MRT_TLAS_KERNEL", "auto")
+        assert wants_brute(tlas)  # tiny geometry passes the size gate
         monkeypatch.setenv("MRT_TLAS_KERNEL", "packet")
         assert not wants_brute(tlas)
         monkeypatch.setenv("MRT_TLAS_KERNEL", "brute")
         assert wants_brute(tlas)
         # Old pytrees without the per-instance ranges stay on packet.
-        monkeypatch.delenv("MRT_TLAS_KERNEL", raising=False)
+        monkeypatch.setenv("MRT_TLAS_KERNEL", "auto")
         assert not wants_brute(tlas.replace(tri_first=None))
 
     def test_eve_scene_parity(self, rng):
