@@ -227,13 +227,19 @@ def intersect(grid: VoxelGrid, o, d, t_min, t_max) -> Hits:
     # straight into a solid cell is a front hit on its boundary face.
     inside0 = started_in_box & occ0
 
+    # Loop-carry inits must derive from varying inputs (shard_map
+    # varying-axes typing — the vzero pattern, integrator/persistent):
+    # plain jnp.zeros is unvarying and fails while_loop carry typing
+    # when the body's outputs are varying.
+    vzero_f = jnp.sum(o * 0.0, axis=-1)                   # (N,) zeros
+    vzero_i = vzero_f.astype(jnp.int32)
     state = dict(
         t=near, c=c0, axis=enter_axis, inside=inside0,
         alive=alive0,
-        hit=jnp.zeros((N,), bool),
-        hit_t=jnp.full((N,), INF, jnp.float32),
-        hit_axis=jnp.zeros((N,), jnp.int32),
-        hit_front=jnp.zeros((N,), bool),
+        hit=vzero_i.astype(bool),
+        hit_t=vzero_f + INF,
+        hit_axis=vzero_i,
+        hit_front=vzero_i.astype(bool),
         steps=jnp.int32(0),
     )
 

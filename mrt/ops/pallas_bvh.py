@@ -41,7 +41,23 @@ import os as _os
 # "left first, shrink t_max, then right" order (geom.rs:185-200).
 # The deterministic tie rule makes results bit-identical to the
 # DFS/escape order, so this is a pure scheduling choice.
-ORDERED = _os.environ.get("MRT_ORDERED", "1") != "0"
+#
+# Per-scene rule (hardware A/B, commit c282bf1 + VERDICT r3 #7):
+# ordered wins on coherent-majority packets (rtiow +4.6%, cornell
+# +17%, sphere_grid +13%) but LOSES on big instanced TLAS scenes
+# whose mid-path packets have no majority direction (lucy -1.5%,
+# eve -3%) — the same scenes the lane-sort rule fires for.  So
+# single-level BVHs default ordered; the TLAS kernel goes ordered
+# only below the sort threshold.  MRT_ORDERED=0/1 forces globally.
+_ORD_ENV = _os.environ.get("MRT_ORDERED", "auto")
+ORDERED = _ORD_ENV != "0"
+TLAS_ORDERED_MAX_INST = 32  # == Scene.SORT_MIN_INSTANCES
+
+
+def tlas_ordered(n_instances: int) -> bool:
+    if _ORD_ENV in ("0", "1"):
+        return _ORD_ENV == "1"
+    return n_instances < TLAS_ORDERED_MAX_INST
 # Median-split trees are balanced: depth <= ceil(log2(T)) <= 31 for any
 # i32 primitive count, and only inner-node descents push.
 STACK_DEPTH = 64
@@ -970,7 +986,8 @@ def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False):
     t, bi, btri, u, v = _traverse_tlas(
         tnodes, tmeta, inst, imeta, bnodes, bmeta, tri, o3, d3,
         jnp.asarray(t_min, jnp.float32),
-        jnp.asarray(DET_EPS, jnp.float32), t_max2, interpret=interpret)
+        jnp.asarray(DET_EPS, jnp.float32), t_max2, interpret=interpret,
+        ordered=tlas_ordered(int(tlas.transform.shape[0])))
     flat = lambda x: x.reshape(-1)[:n]
     return expand_winner(tlas, o, d, flat(t), flat(bi), flat(btri),
                          flat(u), flat(v))

@@ -212,3 +212,22 @@ class TestPallasTLAS:
         np.testing.assert_allclose(np.asarray(hp.normal)[m],
                                    np.asarray(hx.normal)[m], rtol=2e-2,
                                    atol=2e-2)
+
+
+class TestOrderedRule:
+    def test_tlas_ordered_auto_rule(self, monkeypatch):
+        """Per-scene ordered-descent rule (VERDICT r3 #7): the TLAS
+        kernel goes ordered only below the lane-sort instance
+        threshold — the hardware A/B (commit c282bf1) measured ordered
+        losing exactly on the big instanced scenes that sort
+        (lucy -1.5%, eve -3%) and winning below it (cornell +17%)."""
+        from mrt.ops import pallas_bvh as PB
+
+        monkeypatch.setattr(PB, "_ORD_ENV", "auto")
+        assert PB.tlas_ordered(10)       # cornell-class
+        assert not PB.tlas_ordered(38)   # eve
+        assert not PB.tlas_ordered(122)  # lucy
+        monkeypatch.setattr(PB, "_ORD_ENV", "1")
+        assert PB.tlas_ordered(122)
+        monkeypatch.setattr(PB, "_ORD_ENV", "0")
+        assert not PB.tlas_ordered(10)

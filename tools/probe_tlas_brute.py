@@ -9,7 +9,7 @@ preview shape, report the second (steady) wall time and the film mean.
 Both paths share the deterministic (t, instance, triangle) tie rule,
 so means must be bit-identical — any difference is a correctness bug.
 
-Writes artifacts/tlas_brute_r03.json when run as the driver.
+Writes artifacts/tlas_brute_r04.json when run as the driver.
 
 Usage: python tools/probe_tlas_brute.py [scene ...]
 """
@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 SCENES = ("cornell", "playground", "lucy", "eve")
 W, H, SPP, DEPTH = 480, 270, 8, 16
 ART = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "artifacts", "tlas_brute_r03.json")
+    os.path.abspath(__file__))), "artifacts", "tlas_brute_r04.json")
 
 
 def run_variant(kind, names):
