@@ -95,6 +95,14 @@ def main():
     segments = ((int(film.depth_sum.sum()) - depth_before) // 3
                 + camera_rays)
 
+    # The spp=64 program is DIFFERENT from the spp=8 one (the pool is
+    # bucketed by spp), so warm it separately — r3's bench timed a cold
+    # spp64 pass and reported 4.55M for what is really ~9M
+    # (artifacts/spp64_r04.json).
+    t0 = time.perf_counter()
+    film = one_pass(film, start, SPP_BASELINE)
+    warm64_s = time.perf_counter() - t0
+    start += SPP_BASELINE
     t0 = time.perf_counter()
     film = one_pass(film, start, SPP_BASELINE)
     dt64 = time.perf_counter() - t0
@@ -127,6 +135,7 @@ def main():
             "median_s": round(dt, 4),
             "camera_rays_per_sec_spp8": round(rays_per_sec, 1),
             "path_segments_per_sec": round(segments / dt, 1),
+            "spp64_warm_s": round(warm64_s, 3),
             "spp64_s": round(dt64, 3),
             "camera_rays_per_sec_spp64": round(rays64, 1),
         }, f, indent=1)

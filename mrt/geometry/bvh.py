@@ -107,6 +107,64 @@ def thread_octants(count, escape, bmin, bmax):
     return hitp, missp
 
 
+# Binned-SAH split (MRT_BVH=sah): bins per axis for the surface-area
+# heuristic.  Median splits balance counts; SAH minimises expected
+# traversal cost (sum of child_area * child_count) — typically fewer
+# node visits per ray on irregularly-distributed geometry.
+SAH_BINS = 16
+
+
+def _area(lo, hi):
+    """Surface area of AABBs (…,3); 0 for empty (inf/-inf) boxes."""
+    d = hi - lo
+    ok = np.all(np.isfinite(d), axis=-1) & np.all(d >= 0.0, axis=-1)
+    d = np.where(ok[..., None], d, 0.0)
+    return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                  + d[..., 2] * d[..., 0])
+
+
+def _sah_partition(prim, centroids, bounds_min, bounds_max):
+    """Best binned-SAH split of `prim`; returns a bool left-mask or
+    None (degenerate: all centroids coincide / split separates
+    nothing)."""
+    c = centroids[prim]
+    cmin, cmax = c.min(axis=0), c.max(axis=0)
+    best_cost = np.inf
+    best = None
+    for axis in range(3):
+        ext = cmax[axis] - cmin[axis]
+        if ext <= 0.0:
+            continue
+        scale = SAH_BINS * (1.0 - 1e-12) / ext
+        b = ((c[:, axis] - cmin[axis]) * scale).astype(np.int64)
+        cnt = np.bincount(b, minlength=SAH_BINS).astype(np.float64)
+        bin_min = np.full((SAH_BINS, 3), np.inf)
+        bin_max = np.full((SAH_BINS, 3), -np.inf)
+        np.minimum.at(bin_min, b, bounds_min[prim])
+        np.maximum.at(bin_max, b, bounds_max[prim])
+        # Prefix (left) and suffix (right) accumulations over bins.
+        lmin = np.minimum.accumulate(bin_min, axis=0)
+        lmax = np.maximum.accumulate(bin_max, axis=0)
+        rmin = np.minimum.accumulate(bin_min[::-1], axis=0)[::-1]
+        rmax = np.maximum.accumulate(bin_max[::-1], axis=0)[::-1]
+        lcnt = np.cumsum(cnt)
+        rcnt = cnt.sum() - lcnt
+        # Split k: left bins [0,k], right bins [k+1, BINS).
+        la = _area(lmin[:-1], lmax[:-1])
+        ra = _area(rmin[1:], rmax[1:])
+        cost = (np.where(lcnt[:-1] > 0, lcnt[:-1] * la, 0.0)
+                + np.where(rcnt[:-1] > 0, rcnt[:-1] * ra, 0.0))
+        valid = (lcnt[:-1] > 0) & (rcnt[:-1] > 0)
+        if not valid.any():
+            continue
+        cost = np.where(valid, cost, np.inf)
+        k = int(np.argmin(cost))
+        if cost[k] < best_cost:
+            best_cost = cost[k]
+            best = b <= k
+    return best
+
+
 def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
     """Build a flattened BVH over primitives on host.
 
@@ -116,7 +174,13 @@ def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
     Returns:
       (FlatBVH arrays as numpy, order) where `order` is the permutation
       to apply to primitive arrays so leaves are contiguous.
+
+    MRT_BVH=sah switches the split rule from deterministic
+    widest-axis median to binned SAH (Python path only — the native
+    builder implements median semantics).
     """
+    import os as _os
+    sah = _os.environ.get("MRT_BVH", "median") == "sah"
     t = centroids.shape[0]
     centroids = np.asarray(centroids, np.float64)
     bounds_min = np.asarray(bounds_min, np.float64)
@@ -125,7 +189,7 @@ def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
     # The C++ builder implements these exact semantics ~100x faster
     # (bit-identical output); this Python body is the fallback + spec.
     from .. import native
-    if t > 1024:
+    if t > 1024 and not sah:
         result = native.bvh_build(centroids, bounds_min, bounds_max,
                                   leaf_size)
         if result is not None:
@@ -149,11 +213,21 @@ def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
         if n <= leaf_size:
             nodes.append([bmin, bmax, start, n, -1])
             return idx
-        c = centroids[prim]
-        axis = int(np.argmax(bmax - bmin))
-        key = np.argsort(c[:, axis], kind="stable")
-        order[start:end] = prim[key]
-        mid = start + n // 2
+        mid = None
+        if sah:
+            mask = _sah_partition(prim, centroids, bounds_min,
+                                  bounds_max)
+            if mask is not None:
+                # Stable two-sided partition keeps determinism.
+                order[start:end] = np.concatenate(
+                    [prim[mask], prim[~mask]])
+                mid = start + int(mask.sum())
+        if mid is None:  # median fallback (also SAH-degenerate case)
+            c = centroids[prim]
+            axis = int(np.argmax(bmax - bmin))
+            key = np.argsort(c[:, axis], kind="stable")
+            order[start:end] = prim[key]
+            mid = start + n // 2
         nodes.append([bmin, bmax, 0, 0, -1])
         build_range(start, mid)
         build_range(mid, end)
@@ -162,7 +236,11 @@ def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
 
     import sys
     old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 4 * int(np.log2(max(t, 2)) + 2) * 64))
+    # SAH trees aren't count-balanced; allow real-world depths well
+    # past log2(t) (median stays ~log-deep).
+    depth_guess = (20000 if sah
+                   else 4 * int(np.log2(max(t, 2)) + 2) * 64)
+    sys.setrecursionlimit(max(old_limit, depth_guess))
     try:
         build_range(0, t)
     finally:

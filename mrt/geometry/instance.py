@@ -70,10 +70,36 @@ class TLAS:
     # recompute can differ by ulps and flip a grazing cull).
     w_min: jnp.ndarray = None       # (I,3)
     w_max: jnp.ndarray = None       # (I,3)
+    # World-flattened single-level representation (geometry/tlas_flat):
+    # every instance's triangles pre-transformed to world space under
+    # one BVH, so small instanced scenes ride the single-level packet
+    # kernel instead of the two-level traversal.  Built only when the
+    # world triangle count is small (MeshRegistry.FLAT_MAX_TRIS); None
+    # otherwise and on pre-existing pytrees.
+    flat_tris: Any = None           # Triangles (unit_normal=True)
+    flat_bvh: Any = None            # bvh.FlatBVH
+    # Mid-size fallback: the same world flattening split into spatial
+    # instance clusters whose tables fit the packet kernel's SMEM
+    # budget individually; rays fold the per-part raw winners and one
+    # shared expansion recovers the exact instanced shading semantics.
+    flat_parts: Any = None          # tuple[FlatPart, ...]
 
     @property
     def n_tlas_nodes(self):
         return self.t_bmin.shape[0]
+
+
+@struct.dataclass
+class FlatPart:
+    """One spatial cluster of world-flattened instances.
+
+    `tris` carries world-space geometry only (shading fields zeroed —
+    the winner expansion goes through instance.expand_winner with the
+    (instance, BLAS-triangle) pair recovered from `packed`, so
+    shading is bit-identical to the two-level path)."""
+    tris: Any               # Triangles, world space, BVH order
+    bvh: Any                # bvh.FlatBVH
+    packed: jnp.ndarray     # (Tp,) i32: (instance << 20) | global tri
 
 
 class MeshRegistry:
@@ -180,7 +206,28 @@ class MeshRegistry:
         t_inst = np.where(t_count > 0, order[np.minimum(
             t_first, n_inst - 1)], -1).astype(np.int32)
 
+        import os as _os
+        split_env = _os.environ.get("MRT_FLAT_SPLIT", "")
+        flat_tris = flat_bvh = None
+        if not split_env:
+            flat_tris, flat_bvh = self._build_flat(
+                mesh_ids, fwd, override, int(inst_tri_count.sum()))
+        flat_parts = None
+        # Clustered flatten lost its hardware A/B (PARTS_AUTO_ON) —
+        # only build the part arrays when explicitly requested, so
+        # default builds don't carry dead device tables.
+        if flat_tris is None and (
+                split_env
+                or _os.environ.get("MRT_TLAS_KERNEL") in ("flat",
+                                                          "auto")):
+            flat_parts = self._build_flat_parts(
+                mesh_ids, fwd, w_min, w_max, inst_tri_first,
+                inst_tri_count,
+                part_tris=int(split_env) if split_env else None)
+
         return TLAS(
+            flat_tris=flat_tris, flat_bvh=flat_bvh,
+            flat_parts=flat_parts,
             t_bmin=jnp.asarray(t_bmin), t_bmax=jnp.asarray(t_bmax),
             t_inst=jnp.asarray(t_inst), t_escape=jnp.asarray(t_escape),
             transform=jnp.asarray(fwd), inv_transform=jnp.asarray(inv),
@@ -196,6 +243,250 @@ class MeshRegistry:
             tri_count=jnp.asarray(inst_tri_count),
             w_min=jnp.asarray(w_min.astype(np.float32)),
             w_max=jnp.asarray(w_max.astype(np.float32)))
+
+
+    # World-flattening ceiling, total triangles across all instances.
+    # Sized so the flat single-level tables can fit the packet kernel's
+    # SMEM budget (ops/budget.py: ~42 B/world-tri at leaf 16 keeps
+    # ~10.6k under 448 KB); the intersect-time gate re-checks exactly.
+    # Menger-class scenes (millions of world tris) skip the build.
+    FLAT_MAX_TRIS = 12288
+
+    def _build_flat(self, mesh_ids, fwd, override, world_tris):
+        """World-flatten every instance's triangles into one Triangles
+        set + single-level BVH (host NumPy), or (None, None) when the
+        scene is too big.
+
+        The instanced hit semantics are preserved exactly (geom.rs:
+        404-414 via instance.expand_winner): vertices and edges by the
+        forward affine transform; per-vertex normals and the tangent
+        frame by the forward *linear* part (not inverse-transpose),
+        with normalisation deferred to hit time (Triangles.unit_normal
+        — the transform is linear, so interpolating transformed
+        normals equals transforming the interpolated normal); material
+        overrides baked per triangle (geom.rs:317-333)."""
+        if world_tris > self.FLAT_MAX_TRIS:
+            return None, None
+
+        import jax as _jax
+
+        chunks = []
+        by_mesh = {}
+        for i, m in enumerate(mesh_ids):
+            by_mesh.setdefault(int(m), []).append(i)
+        for m, idx in sorted(by_mesh.items()):
+            tris = self._meshes[m][1]
+            a = fwd[idx][:, :3, :3]                        # (K,3,3)
+            b = fwd[idx][:, :3, 3]                         # (K,3)
+            ov = override[idx]                             # (K,)
+            k, tm = len(idx), tris.va.shape[0]
+            pt = lambda x: (np.einsum("kab,tb->kta", a, np.asarray(x))
+                            + b[:, None, :]).reshape(-1, 3)
+            ln = lambda x: np.einsum(
+                "kab,tb->kta", a, np.asarray(x)).reshape(-1, 3)
+            tile = lambda x: np.broadcast_to(
+                np.asarray(x)[None], (k,) + np.asarray(x).shape
+            ).reshape((-1,) + np.asarray(x).shape[1:])
+            mat = np.where(ov[:, None] >= 0, ov[:, None],
+                           np.asarray(tris.material)[None, :])
+            chunks.append(Triangles(
+                va=pt(tris.va), e_ab=ln(tris.e_ab), e_ac=ln(tris.e_ac),
+                na=ln(tris.na), nb=ln(tris.nb), nc=ln(tris.nc),
+                uva=tile(tris.uva), uvb=tile(tris.uvb),
+                uvc=tile(tris.uvc),
+                tangent=ln(tris.tangent), bitangent=ln(tris.bitangent),
+                material=mat.reshape(-1).astype(np.int32),
+                has_uv=tile(tris.has_uv),
+                unit_normal=True))
+        flat = _jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=0).astype(xs[0].dtype),
+            *chunks) if len(chunks) > 1 else chunks[0]
+        flat_bvh, flat = bvh_mod.build_over_triangles(flat)
+        from ..ops import budget
+        if not budget.fits(budget.tri_tables_bytes(
+                flat_bvh.n_nodes, flat.va.shape[0])):
+            return None, None  # packet kernel couldn't host the tables
+        return (_jax.tree.map(jnp.asarray, flat),
+                _jax.tree.map(jnp.asarray, flat_bvh))
+
+    # Clustered-flatten limits: total world tris worth duplicating,
+    # per-part ceiling sized to the SMEM table budget (9216*36 B tris
+    # + ~2*9216/16 nodes*48 B ≈ 387 KB < 448 KB), and the packed
+    # (instance << 20 | tri) i32 encoding bounds.
+    FLAT_PARTS_MAX_TRIS = 1 << 17
+    FLAT_PART_TRIS = 9216
+
+    def _build_flat_parts(self, mesh_ids, fwd, w_min, w_max,
+                          tri_first, tri_count, part_tris=None):
+        """Partition instances into spatial clusters and world-flatten
+        each under its own single-level BVH (geometry only — winner
+        expansion recovers (instance, BLAS triangle) from `packed` and
+        goes through expand_winner, so shading semantics are exactly
+        the two-level path's).  Returns a tuple of FlatPart or None
+        when the scene is too big / encoding doesn't fit."""
+        n_inst = len(mesh_ids)
+        total = int(tri_count.sum())
+        ceil = part_tris or self.FLAT_PART_TRIS
+        if ((part_tris is None and total <= self.FLAT_MAX_TRIS)
+                or total > self.FLAT_PARTS_MAX_TRIS
+                or n_inst >= 2048
+                or int(tri_first.max() + tri_count.max()) >= 1 << 20):
+            return None
+        if int(tri_count.max()) > ceil:
+            return None  # one instance alone overflows a part table
+
+        import jax as _jax
+        from ..ops import budget
+
+        cent = ((w_min + w_max) * 0.5).astype(np.float64)
+        counts = np.asarray(tri_count, np.int64)
+
+        def split(idx):
+            if counts[idx].sum() <= ceil or len(idx) == 1:
+                return [idx]
+            ext = cent[idx].max(axis=0) - cent[idx].min(axis=0)
+            ax = int(np.argmax(ext))
+            order = idx[np.argsort(cent[idx, ax], kind="stable")]
+            cum = np.cumsum(counts[order])
+            half = int(np.searchsorted(cum, cum[-1] / 2.0))
+            half = min(max(half, 1), len(order) - 1)
+            return split(order[:half]) + split(order[half:])
+
+        parts = []
+        for idx in split(np.arange(n_inst)):
+            vas, eabs, eacs, packs = [], [], [], []
+            for i in idx:
+                tris = self._meshes[mesh_ids[i]][1]
+                a, b = fwd[i, :3, :3], fwd[i, :3, 3]
+                vas.append(np.asarray(tris.va) @ a.T + b)
+                eabs.append(np.asarray(tris.e_ab) @ a.T)
+                eacs.append(np.asarray(tris.e_ac) @ a.T)
+                g = np.arange(tris.va.shape[0], dtype=np.int64)
+                packs.append((np.int64(i) << 20)
+                             | (np.int64(tri_first[i]) + g))
+            va = np.concatenate(vas).astype(np.float32)
+            eab = np.concatenate(eabs).astype(np.float32)
+            eac = np.concatenate(eacs).astype(np.float32)
+            packed = np.concatenate(packs)
+            assert packed.max() < np.iinfo(np.int32).max
+
+            vb, vc = va + eab, va + eac
+            bmin = np.minimum(np.minimum(va, vb), vc)
+            bmax = np.maximum(np.maximum(va, vb), vc)
+            (nb_min, nb_max, first, count, escape), order = bvh_mod.build(
+                (va + vb + vc) / 3.0, bmin, bmax, LEAF_SIZE)
+            if not budget.fits(budget.tri_tables_bytes(
+                    nb_min.shape[0], va.shape[0])):
+                return None
+            t = va.shape[0]
+            zeros3 = np.zeros((t, 3), np.float32)
+            zeros2 = np.zeros((t, 2), np.float32)
+            part_tris = Triangles(
+                va=va[order], e_ab=eab[order], e_ac=eac[order],
+                na=zeros3, nb=zeros3, nc=zeros3,
+                uva=zeros2, uvb=zeros2, uvc=zeros2,
+                tangent=zeros3, bitangent=zeros3,
+                material=np.zeros((t,), np.int32),
+                has_uv=np.zeros((t,), bool),
+                unit_normal=True)
+            parts.append(FlatPart(
+                tris=_jax.tree.map(jnp.asarray, part_tris),
+                bvh=_jax.tree.map(jnp.asarray, FlatBVH(
+                    bmin=nb_min.astype(np.float32),
+                    bmax=nb_max.astype(np.float32),
+                    first=first, count=count, escape=escape)),
+                packed=jnp.asarray(packed[order].astype(np.int32))))
+        return tuple(parts)
+
+
+# Hardware verdict (tools/probe_tlas_flat.py, artifacts/
+# tlas_flat_r04.json, 480x270 spp8 d16 persistent, WARM protocol —
+# see BASELINE "Measurement protocol correction"): flat is
+# performance-NEUTRAL on the small TLAS scenes (cornell 1.04x,
+# playground 0.99x — the first-pass +17%/+12% was the cold-chip
+# bias) and LOSES where mid-path packets diverge across many
+# instances (eve -14%, clustered lucy -19%).  No measured win ->
+# opt-in only (`MRT_TLAS_KERNEL=flat`), per the repo rule.
+FLAT_AUTO_ON = False
+FLAT_MAX_INSTANCES = 32  # == Scene.SORT_MIN_INSTANCES
+
+
+def wants_flat(tlas: TLAS, auto=True) -> bool:
+    """Route this TLAS through its world-flattened single-level BVH?
+    Presence of `flat_tris` already implies the tables fit the packet
+    kernel's SMEM budget (built + gated in MeshRegistry._build_flat).
+    MRT_TLAS_KERNEL=flat forces it, =auto takes the build gate alone,
+    any other value disables; otherwise the measured instance-count
+    rule applies (when `auto`, i.e. on the TPU dispatch)."""
+    import os
+    if tlas is None or tlas.flat_tris is None:
+        return False
+    kind = os.environ.get("MRT_TLAS_KERNEL", "")
+    if kind == "flat":
+        return True
+    if kind and kind != "auto":
+        return False
+    if kind == "auto":
+        return True
+    return (auto and FLAT_AUTO_ON
+            and tlas.transform.shape[0] < FLAT_MAX_INSTANCES)
+
+
+# The clustered variant LOST its hardware A/B on lucy (packet 2.42 s
+# vs parts 2.97 s, same artifact) — stays opt-in; kept as the
+# bit-tested construction for possible future part-resident streaming.
+PARTS_AUTO_ON = False
+
+
+def wants_flat_parts(tlas: TLAS, auto=True) -> bool:
+    import os
+    if tlas is None or tlas.flat_parts is None:
+        return False
+    kind = os.environ.get("MRT_TLAS_KERNEL", "")
+    if kind == "flat":
+        return True
+    if kind and kind != "auto":
+        return False
+    return kind == "auto" or (auto and PARTS_AUTO_ON)
+
+
+def intersect_tlas_flat_parts(tlas: TLAS, o, d, t_min, t_max,
+                              use_pallas=True) -> Hits:
+    """Fold per-cluster single-level packet traversals into one winner.
+
+    Tie rule: strictly closer t wins; equal t keeps the EARLIER part
+    (parts are disjoint spatial clusters, so cross-part exact ties
+    require coincident geometry).  Within a part the kernel's
+    lower-triangle-index rule applies.  The final (instance, triangle)
+    is recovered from the winning row's packed id — one (N,) gather —
+    and expanded by expand_winner, bit-identical shading semantics to
+    the two-level traversal."""
+    od = jnp.sum(o * d, axis=-1)
+    best_t = jnp.full_like(od, INF)
+    best_row = jnp.zeros_like(od, dtype=jnp.int32)
+    best_u = jnp.zeros_like(od)
+    best_v = jnp.zeros_like(od)
+    offset = 0
+    for part in tlas.flat_parts:
+        if use_pallas:
+            from ..ops import pallas_bvh
+            t, i, u, v = pallas_bvh.traverse_bvh_tris(
+                part.tris, part.bvh, o, d, t_min, t_max)
+        else:
+            t, i, u, v = bvh_mod.intersect_bvh_tris(
+                part.tris, part.bvh, o, d, t_min, t_max)
+        ok = t < best_t
+        best_row = jnp.where(ok, i + jnp.int32(offset), best_row)
+        best_u = jnp.where(ok, u, best_u)
+        best_v = jnp.where(ok, v, best_v)
+        best_t = jnp.where(ok, t, best_t)
+        offset += int(part.packed.shape[0])
+    packed = jnp.concatenate(
+        [p.packed for p in tlas.flat_parts])[best_row]
+    inst = packed >> 20
+    gtri = packed & ((1 << 20) - 1)
+    return expand_winner(tlas, o, d, best_t, inst, gtri, best_u,
+                         best_v)
 
 
 def intersect_tlas(tlas: TLAS, o, d, t_min, t_max, scene=None) -> Hits:

@@ -211,10 +211,28 @@ class Scene:
                     self.triangles, o, d, t_min, t_max, scene=self))
         if self.tlas is not None:
             from . import spheres as sph_mod
+            from . import instance as inst_mod
             from ..ops import budget
             if sph_mod._use_pallas():
                 from . import tlas_brute
-                if tlas_brute.wants_brute(self.tlas):
+                if inst_mod.wants_flat(self.tlas):
+                    # World-flattened single-level BVH: small instanced
+                    # scenes ride the mesh packet kernel instead of the
+                    # two-level traversal (geometry/instance.py
+                    # _build_flat; winner semantics preserved, t/normal
+                    # values differ from two-level in ulps only).
+                    from ..ops import pallas_bvh
+                    hits = hits.closer_of(pallas_bvh.intersect_bvh_tris(
+                        self.tlas.flat_tris, self.tlas.flat_bvh, o, d,
+                        t_min, t_max))
+                elif inst_mod.wants_flat_parts(self.tlas):
+                    # Clustered flatten: per-part single-level packet
+                    # launches, winners folded, one shared expansion.
+                    hits = hits.closer_of(
+                        inst_mod.intersect_tlas_flat_parts(
+                            self.tlas, o, d, t_min, t_max,
+                            use_pallas=True))
+                elif tlas_brute.wants_brute(self.tlas):
                     # Small-geometry TLAS: dense instanced scan beats
                     # packet traversal (divergence-insensitive; see
                     # geometry/tlas_brute.py + probe_tlas_brute.py).
@@ -231,8 +249,21 @@ class Scene:
                     from ..ops import pallas_stream
                     hits = hits.closer_of(pallas_stream.intersect_tlas(
                         self.tlas, o, d, t_min, t_max))
+            elif inst_mod.wants_flat(self.tlas, auto=False):
+                # CPU/XLA analogue of the flat dispatch above, so the
+                # flat path is testable without Pallas.  auto=False:
+                # CPU renders keep the two-level default so the
+                # committed goldens are unchanged (env force only).
+                from . import bvh as bvh_mod
+                hits = hits.closer_of(bvh_mod.intersect_bvh(
+                    self.tlas.flat_tris, self.tlas.flat_bvh, o, d,
+                    t_min, t_max, scene=self))
+            elif inst_mod.wants_flat_parts(self.tlas, auto=False):
+                hits = hits.closer_of(
+                    inst_mod.intersect_tlas_flat_parts(
+                        self.tlas, o, d, t_min, t_max,
+                        use_pallas=False))
             else:
-                from . import instance as inst_mod
                 hits = hits.closer_of(inst_mod.intersect_tlas(
                     self.tlas, o, d, t_min, t_max, scene=self))
         if self.voxels:

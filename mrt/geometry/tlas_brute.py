@@ -45,18 +45,18 @@ from .instance import TLAS, expand_winner
 TRI_CHUNK = 64
 INST_CHUNK = 16
 
-# Auto-on ceiling in unique triangles.  PROVISIONAL: inherited from
-# the sphere brute-vs-BVH crossover (tools/probe_sphere_cross.py), a
-# different kernel; the TLAS-specific sweep is tools/probe_tlas_cross.py
-# and its committed artifact sets the real value.  Overridable via
-# MRT_TLAS_KERNEL.
+# Size gates for the (opt-in) dense scan.  The r4 hardware A/B
+# (tools/probe_tlas_brute.py, artifacts/tlas_brute_r04.json) measured
+# the scan LOSING to packet traversal on every zoo TLAS scene —
+# cornell 3.3x, playground 7.8x, eve 4.7x, lucy 13x — so there is no
+# winning crossover and AUTO_ON stays False permanently; the kernel
+# remains available via MRT_TLAS_KERNEL=brute as a bit-exact oracle
+# for the traversal kernels (tests/test_tlas_brute.py).
 MAX_TRIS = 4096
 # rowlookup's one-hot path (and selection cost, linear in I).
 MAX_INSTANCES = 1024
 
-# Auto-enable gate: stays False until tools/probe_tlas_brute.py has
-# run on hardware with a committed artifacts/tlas_brute_r*.json
-# showing a win (the repo rule: speculative kernels ship opt-in).
+# Frozen (see above): the committed artifact shows a loss everywhere.
 AUTO_ON = False
 
 

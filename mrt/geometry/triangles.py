@@ -50,6 +50,12 @@ class Triangles:
     bitangent: jnp.ndarray  # (T,3)
     material: jnp.ndarray   # (T,)  int32
     has_uv: jnp.ndarray     # (T,)  bool
+    # Static: normalise the interpolated smooth normal at hit time.
+    # Plain triangles keep the reference's UNnormalised smooth normal
+    # (geom.rs:552); world-flattened instanced triangles must instead
+    # match the instanced path, which renormalises after the forward
+    # linear transform (geom.rs:412, instance.expand_winner).
+    unit_normal: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def count(self):
@@ -254,6 +260,14 @@ def make_hits(tris: Triangles, o, d, t, index, u, v) -> Hits:
     normal = s["na"] * w + s["nb"] * uu + s["nc"] * vv
     uv = s["uva"] * w + s["uvb"] * uu + s["uvc"] * vv
     uv = jnp.where(s["has_uv"][:, None], uv, 0.0)
+    if tris.unit_normal:
+        # World-flattened instanced triangles: same normalisation as
+        # instance.expand_winner (the linear transform is baked into
+        # the per-vertex normals, so normalise(interp) here equals
+        # normalise(lin @ interp_obj) there).
+        norm = jnp.sqrt(jnp.sum(normal * normal, axis=-1,
+                                keepdims=True))
+        normal = normal / jnp.maximum(norm, 1e-20)
     normal, front_face = set_face_normal(d, normal)
     area = 0.5 * jnp.linalg.norm(
         jnp.cross(s["e_ab"], s["e_ac"]), axis=-1)

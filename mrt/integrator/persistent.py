@@ -115,7 +115,19 @@ def _make_sorter(scene, total):
     direction-tiled packets on Menger L5 (tools/probe_menger_block.py).
     Semantically free: every per-lane quantity rides the same
     permutation, the RNG is keyed on (ray_id, bounce), and film
-    scatters index by work item.  Idle lanes sort to the end."""
+    scatters index by work item.  Idle lanes sort to the end.
+
+    Origin bounds: static scene bounds degenerate on scenes whose
+    emissive set dwarfs the detailed geometry — lucy's sun sphere at
+    (10000,4000,4800) r1500 makes a 64-cell grid ~195 units/cell, so
+    the whole 33-unit statue field quantises to ONE cell and the key
+    collapses to direction bits.  MRT_SORT_DYN=1 instead quantises
+    over the ACTIVE wavefront's own per-sort origin bounds (two masked
+    reductions; emissive hits terminate, so live origins concentrate
+    on the detailed geometry).  Permutation-only either way — the film
+    is bit-identical; only packet coherence changes."""
+    import os as _os
+    dynamic = _os.environ.get("MRT_SORT_DYN", "0") == "1"
     bmin, bmax = scene.world_bounds()
     inv_ext = 63.0 / jnp.maximum(bmax - bmin, 1e-6)
 
@@ -129,7 +141,16 @@ def _make_sorter(scene, total):
             jnp.sum(d * d, axis=-1, keepdims=True), 1e-20))
         dcell = jnp.clip((dn + 1.0) * 8.0, 0.0, 15.0).astype(jnp.uint32)
         dkey = _morton3(dcell[:, 0], dcell[:, 1], dcell[:, 2])
-        cell = jnp.clip((o - bmin) * inv_ext, 0.0, 63.0).astype(jnp.uint32)
+        if dynamic:
+            big = jnp.float32(3.4e38)
+            act3 = active[:, None]
+            lo = jnp.min(jnp.where(act3, o, big), axis=0)
+            hi = jnp.max(jnp.where(act3, o, -big), axis=0)
+            inv = 63.0 / jnp.maximum(hi - lo, 1e-6)
+            cell = jnp.clip((o - lo) * inv, 0.0, 63.0).astype(jnp.uint32)
+        else:
+            cell = jnp.clip((o - bmin) * inv_ext, 0.0,
+                            63.0).astype(jnp.uint32)
         key = (_morton3(cell[:, 0], cell[:, 1], cell[:, 2]) << 12) | dkey
         key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
         perm = jnp.argsort(key)
@@ -353,7 +374,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         every live path has moved past it.  One contiguous
         dynamic-slice add — no scatter touches the big film.
 
-        Indexed state access: the megastep path appends a per-lane
+        Indexed state access: the pend film mode appends a per-lane
         pending accumulator to the tuple; positions 0-9 are shared."""
         if not big_mode:
             return state, film
@@ -396,7 +417,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
 
 def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit,
-                neutral=None, mega=False):
+                neutral=None, pending=False):
     """Initial claims honor the same slot-window gate as in-loop claims
     (`init_limit` = slots_eff*samples in big mode): lanes past the gate
     start idle and claim once flushing opens the window."""
@@ -419,9 +440,9 @@ def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit,
         jnp.int32(0) + vzero_i,                      # flushed_q
         jnp.zeros((pool,), jnp.float32) + vzero_f,   # prev_pdf (MIS)
     )
-    if mega:
+    if pending:
         # Per-lane pending (radiance, bounce-count) accumulator: the
-        # megastep kernel deposits once per path death, not per step.
+        # pend film mode deposits once per path death, not per step.
         state = state + (jnp.zeros((pool, 4), jnp.float32) + vzero_f,)
     return state
 
@@ -446,13 +467,13 @@ def render_samples_persistent(scene, camera, width, height, seed,
                               film_sum=None, depth_sum=None,
                               pixel_offset=0, n_pixels=None,
                               sample_stride=1, rr_depth=None,
-                              slots=None, sort_rays=False, mega=False,
+                              slots=None, sort_rays=False,
                               pend=False):
     """Single device-side while_loop (for use inside jit/shard_map).
 
     Returns (film_sum (n_pixels,3), depth_sum (n_pixels,)) — pass them
-    back in to accumulate further passes.  `mega`/`pend` must be
-    resolved by the caller (static; `pixel_offset` may be traced under
+    back in to accumulate further passes.  `pend` must be resolved by
+    the caller (static; `pixel_offset` may be traced under
     shard_map).
     """
     npix = n_pixels if n_pixels is not None else width * height
@@ -467,7 +488,6 @@ def render_samples_persistent(scene, camera, width, height, seed,
                + jnp.asarray(sample_start, jnp.float32) * 0.0)
     vzero_i = vzero_f.astype(jnp.int32)
 
-    pend = False if mega else pend
     (total, make_rays, step, maybe_flush, finalize, layout,
      neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
@@ -485,23 +505,15 @@ def render_samples_persistent(scene, camera, width, height, seed,
         work_film = film  # untouched until the final add
         init_limit = _BIG
     state = _init_state(make_rays, pool, dest, vzero_f, vzero_i,
-                        init_limit, neutral,
-                        mega=bool(mega) or bool(pend))
+                        init_limit, neutral, pending=bool(pend))
 
     def cond(carry):
         state, film = carry
         return jnp.any(state[0] < total) | (state[6] < total)
 
-    if mega:
-        run_block = _mega_block(
-            scene, camera, seed, sample_start, samples, layout, neutral,
-            mega, width=width, height=height, max_depth=max_depth,
-            pool=pool, pixel_offset=pixel_offset, n_pixels=n_pixels,
-            sample_stride=sample_stride, rr_depth=rr_depth)
-    else:
-        sorter = _make_sorter(scene, total) if sort_rays else None
-        run_block = _flush_block(step, sorter,
-                                 int(sort_rays) or FLUSH_STEPS)
+    sorter = _make_sorter(scene, total) if sort_rays else None
+    run_block = _flush_block(step, sorter,
+                             int(sort_rays) or FLUSH_STEPS)
 
     def body(carry):
         state, film = carry
@@ -517,10 +529,10 @@ def render_samples_persistent(scene, camera, width, height, seed,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "mega", "pend"))
+                                   "sort_rays", "pend"))
 def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
                 samples, *, width, height, max_depth, pool, rr_depth,
-                slots=None, sort_rays=False, mega=False, pend=False):
+                slots=None, sort_rays=False, pend=False):
     (total, make_rays, step, maybe_flush, finalize, layout,
      neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
@@ -533,54 +545,23 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
     init_limit = (jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
                   if big_mode else _BIG)
     return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
-                        init_limit, neutral,
-                        mega=bool(mega) or bool(pend)), film)
-
-
-def _mega_block(scene, camera, seed, sample_start, samples, layout,
-                neutral, mega, *, width, height, max_depth, pool,
-                pixel_offset=0, n_pixels=None, sample_stride=1,
-                rr_depth=None):
-    """run_block replacement backed by the fused Pallas step kernel."""
-    from ..ops import pallas_megastep as mk
-
-    slots_eff, slab, npix_pad, big_mode = layout
-
-    def run(st):
-        return mk.run_block(
-            scene, camera, st, width=width, height=height, seed=seed,
-            sample_start=sample_start, samples=samples,
-            max_depth=max_depth, pool=pool,
-            slots_eff=slots_eff if big_mode else npix_pad,
-            big_mode=big_mode, k_steps=FLUSH_STEPS, t_min=T_MIN,
-            neutral=neutral, pixel_offset=pixel_offset,
-            n_pixels=n_pixels, sample_stride=sample_stride,
-            rr_depth=rr_depth, interpret=(mega == "interpret"))
-
-    return run
+                        init_limit, neutral, pending=bool(pend)), film)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "mega", "pend"))
+                                   "sort_rays", "pend"))
 def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
                chunk_steps, *, width, height, max_depth, pool, rr_depth,
-               slots=None, sort_rays=False, mega=False, pend=False):
+               slots=None, sort_rays=False, pend=False):
     # chunk_steps is TRACED: the adaptive driver changes it per chunk
     # without recompiling (remote compiles cost minutes here).
     total, _, step, maybe_flush, finalize, layout, neutral = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots, pend=pend)
-    if mega:
-        run_block = _mega_block(scene, camera, seed, sample_start,
-                                samples, layout, neutral, mega,
-                                width=width, height=height,
-                                max_depth=max_depth, pool=pool,
-                                rr_depth=rr_depth)
-    else:
-        sorter = _make_sorter(scene, total) if sort_rays else None
-        run_block = _flush_block(step, sorter,
-                                 int(sort_rays) or FLUSH_STEPS)
+    sorter = _make_sorter(scene, total) if sort_rays else None
+    run_block = _flush_block(step, sorter,
+                             int(sort_rays) or FLUSH_STEPS)
 
     def cond(carry):
         i, st, film = carry
@@ -602,10 +583,10 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "mega", "pend"))
+                                   "sort_rays", "pend"))
 def _chunk_finalize(scene, camera, state, film, seed, sample_start,
                     samples, *, width, height, max_depth, pool,
-                    rr_depth, slots=None, sort_rays=False, mega=False,
+                    rr_depth, slots=None, sort_rays=False,
                     pend=False):
     total, _, _, _, finalize, layout, _n = _build(
         scene, camera, width, height, seed, sample_start, samples,
@@ -622,44 +603,10 @@ CHUNK_TARGET_SECONDS = 10.0
 CHUNK_MAX_STEPS = 4096
 
 
-def _mega_enabled(scene, mega, *, rr_depth, sort_rays, pool, width,
-                  height, slots, n_pixels=None):
-    """Resolve the megastep flag: None = auto (kernel-capable scene on
-    TPU once AUTO_ON), True/"interpret" = forced, False = off."""
-    if mega is False:
-        return False
-    from ..ops import pallas_megastep as mk
-
-    npix = n_pixels if n_pixels is not None else width * height
-    layout = _slots_for(npix, slots)
-    slots_eff, slab, npix_pad, big_mode = layout
-    rows = slots_eff if big_mode else npix_pad
-    ok = (mk.supports_static(scene, rr_depth=rr_depth,
-                             sort_rays=bool(sort_rays), pool=pool)
-          # global pixel ids must stay f32-exactly divisible (< 2^23)
-          and rows % 32 == 0 and width * height < (1 << 23))
-    if not ok:
-        return False
-    if mega is None:
-        import os
-
-        # Auto resolution inspects material values: concrete arrays
-        # only (callers under jit must force mega explicitly).
-        if not mk.mtypes_ok(scene):
-            return False
-        from ..geometry.spheres import _on_tpu
-        flag = os.environ.get("MRT_MEGASTEP")
-        if flag == "1":
-            return True
-        return mk.AUTO_ON and _on_tpu()
-    return mega
-
-
-def _pend_enabled(pend, *, mega, pool, width, height, slots):
+def _pend_enabled(pend, *, pool, width, height, slots):
     """Resolve the pending-deposit film mode: None = auto (off until
-    hardware-validated; MRT_FILM_PEND=1 forces on TPU), exclusive with
-    the megastep (which deposits in-kernel)."""
-    if mega or pend is False:
+    hardware-validated; MRT_FILM_PEND=1 forces on TPU)."""
+    if pend is False:
         return False
     from ..ops import pallas_deposit as pd
 
@@ -690,8 +637,7 @@ def render_samples_chunked(scene, camera, width, height, seed,
                            sample_start, samples, max_depth=MAX_DEPTH,
                            pool=POOL, film_sum=None, depth_sum=None,
                            rr_depth=None, chunk_steps=CHUNK_STEPS,
-                           slots=None, sort_rays=False, mega=None,
-                           pend=None):
+                           slots=None, sort_rays=False, pend=None):
     """Python-driven chunked dispatches (single-chip fast path).
 
     Identical results to `render_samples_persistent`; each dispatch is
@@ -706,17 +652,11 @@ def render_samples_chunked(scene, camera, width, height, seed,
     if depth_sum is None:
         depth_sum = jnp.zeros((npix,), jnp.int32)
 
-    mega = _mega_enabled(scene, mega, rr_depth=rr_depth,
-                         sort_rays=sort_rays, pool=pool, width=width,
-                         height=height, slots=slots)
-    if mega:
-        from ..ops import pallas_megastep as mk
-        scene = mk.with_sphere_bvh(scene)
-    pend = _pend_enabled(pend, mega=mega, pool=pool, width=width,
+    pend = _pend_enabled(pend, pool=pool, width=width,
                          height=height, slots=slots)
     statics = dict(width=width, height=height, max_depth=max_depth,
                    pool=pool, rr_depth=rr_depth, slots=slots,
-                   sort_rays=sort_rays, mega=mega, pend=pend)
+                   sort_rays=sort_rays, pend=pend)
     state, film = _chunk_init(scene, camera, film_sum, depth_sum, seed,
                               sample_start, samples, **statics)
     steps = max(chunk_steps, FLUSH_STEPS)

@@ -290,15 +290,17 @@ def intersect_bvh_spheres(spheres, bvh, o, d, t_min, t_max,
 
 
 def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
-                tmax_ref, t_out, i_out, u_out, v_out, stack_ref, *,
-                n_nodes, ordered):
+                tmin_ref, tmax_ref, t_out, i_out, u_out, v_out,
+                stack_ref, *, n_nodes, ordered):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
     dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
     inv_dx = 1.0 / dx
     inv_dy = 1.0 / dy
     inv_dz = 1.0 / dz
-    t_min = scalars_ref[0]
-    det_eps = scalars_ref[1]
+    # Per-lane t_min (the alpha re-cast rounds pass a vector; pad
+    # lanes carry t_min 1 > t_max 0 so they can't extend traversal).
+    t_min = tmin_ref[:]
+    det_eps = scalars_ref[0]
     t_max = tmax_ref[:]
     if ordered:
         negx, negy, negz = _majority_negs(dx, dy, dz, t_max, t_min)
@@ -344,7 +346,7 @@ def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
 
     def body(carry):
         node, sp, bt, bi, bu, bv = carry
-        near = jnp.full_like(bt, t_min)
+        near = t_min
         far = jnp.minimum(bt, t_max)
         near, far = slab(nodes_ref[0, node], nodes_ref[3, node],
                          ox, inv_dx, near, far)
@@ -403,13 +405,12 @@ def _tri_kernel(scalars_ref, nodes_ref, meta_ref, tri_ref, o_ref, d_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ordered"))
-def _traverse_tris(nodes, meta, tri, o3, d3, t_min, det_eps, t_max2,
+def _traverse_tris(nodes, meta, tri, o3, d3, t_min2, det_eps, t_max2,
                    interpret=False, ordered=ORDERED):
     r = o3.shape[1]
     m = nodes.shape[1]
     grid = (pl.cdiv(r, BLOCK_ROWS),)
-    scalars = jnp.stack([jnp.asarray(t_min, jnp.float32),
-                         jnp.asarray(det_eps, jnp.float32)])
+    scalars = jnp.stack([jnp.asarray(det_eps, jnp.float32)])
 
     kernel = functools.partial(_tri_kernel, n_nodes=m, ordered=ordered)
     ray_spec = pl.BlockSpec((3, BLOCK_ROWS, LANE), lambda g, c: (0, g, 0),
@@ -428,7 +429,7 @@ def _traverse_tris(nodes, meta, tri, o3, d3, t_min, det_eps, t_max2,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((9, tri.shape[1]), lambda g, c: (0, 0),
                              memory_space=pltpu.SMEM),
-                ray_spec, ray_spec, out_spec,
+                ray_spec, ray_spec, out_spec, out_spec,
             ],
             out_specs=[out_spec] * 4,
             scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
@@ -440,14 +441,26 @@ def _traverse_tris(nodes, meta, tri, o3, d3, t_min, det_eps, t_max2,
             jax.ShapeDtypeStruct((r, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, nodes, meta, tri, o3, d3, t_max2)
+    )(scalars, nodes, meta, tri, o3, d3, t_min2, t_max2)
     return outs
 
 
 def intersect_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
     """Drop-in Pallas replacement for geometry.bvh.intersect_bvh (mesh
     BVHs small enough for VMEM).  Returns a Hits record."""
-    from ..geometry.triangles import make_hits, DET_EPS
+    from ..geometry.triangles import make_hits
+
+    t, i, u, v = traverse_bvh_tris(tris, bvh, o, d, t_min, t_max,
+                                   interpret=interpret)
+    return make_hits(jax.tree.map(jnp.asarray, tris), o, d, t, i, u, v)
+
+
+def traverse_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
+    """Raw single-level packet traversal: per-ray winner
+    (t, triangle, u, v) without Hits expansion — the flat-parts TLAS
+    path folds several of these before one shared expansion.
+    `t_min` may be scalar or per-lane (the alpha re-cast rounds)."""
+    from ..geometry.triangles import DET_EPS
 
     tris = jax.tree.map(jnp.asarray, tris)
     bvh = jax.tree.map(jnp.asarray, bvh)
@@ -482,16 +495,20 @@ def intersect_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
     o3 = to3(o, 0.0)
     d3 = to3(jnp.where(jnp.sum(d * d, axis=-1, keepdims=True) > 0.0,
                        d, 1.0), 1.0)
+    # Pad lanes carry (t_min 1, t_max 0): an empty interval that can't
+    # extend the packet traversal or accept a hit.
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_min2 = jnp.full((n_pad,), jnp.float32(1.0)).at[:n].set(
+        t_min_b).reshape(rows, LANE)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t_max2 = jnp.full((n_pad,), jnp.float32(t_min)).at[:n].set(
+    t_max2 = jnp.full((n_pad,), jnp.float32(0.0)).at[:n].set(
         t_max_b).reshape(rows, LANE)
 
-    t, i, u, v = _traverse_tris(nodes, meta, tri, o3, d3,
-                                jnp.asarray(t_min, jnp.float32),
+    t, i, u, v = _traverse_tris(nodes, meta, tri, o3, d3, t_min2,
                                 jnp.asarray(DET_EPS, jnp.float32),
                                 t_max2, interpret=interpret)
     flat = lambda x: x.reshape(-1)[:n]
-    return make_hits(tris, o, d, flat(t), flat(i), flat(u), flat(v))
+    return flat(t), flat(i), flat(u), flat(v)
 
 
 # ---------------------------------------------------------------------------

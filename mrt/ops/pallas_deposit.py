@@ -9,9 +9,10 @@ need to deposit per step; this kernel runs the same serial
 read-modify-write but PREDICATED on the death mask, skipping ~2/3 of
 rows (and whole 8-lane groups with no deaths).
 
-Same machinery as the fused megastep kernel's deposit stage
-(ops/pallas_megastep.py) but standalone, so mesh/TLAS/EVE scenes — the
-ones the megastep's sphere-only scope excludes — get the win too.
+Standalone deposit kernel usable with every scene type
+(mesh/TLAS/EVE included).  (The fused megastep kernel that shared this
+staging was deleted in round 4 after losing its production-dispatch
+A/B — artifacts/megastep_r04.json; git history has the kernel.)
 
 dest layout: the (slots, 4) slot accumulator reshaped (slots*4//128,
 128) so rows are full lanes; the in-row offset vector is built with

@@ -27,7 +27,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 SUBLANE = 8
-BLOCK_ROWS = 8          # rays per program = BLOCK_ROWS * LANE = 1024
+# Rays per packet program = BLOCK_ROWS * LANE.  8 rows = 1024 rays =
+# one (8,128) f32 vreg per elementwise op.  Larger packets amortise
+# the scalar traversal control (SMEM node loads, cursor updates) over
+# more rays — on union-saturated divergent scenes (eve/lucy mid-path
+# packets visit ~the whole tree regardless of packet size) total
+# traversal iterations scale ~1/packet-size while per-iteration vector
+# cost grows, so the optimum is hardware-measured
+# (tools/probe_block_rows.py).  Env override is read at import.
+import os as _os
+BLOCK_ROWS = int(_os.environ.get("MRT_BLOCK_ROWS", "8"))
 INF = float('inf')  # python float: jnp scalars would be captured consts in the kernel
 
 

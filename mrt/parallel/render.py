@@ -119,7 +119,7 @@ def shard_film(film: Film, mesh) -> Film:
 
 def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
                    max_depth=wavefront.MAX_DEPTH, samples_per_pass=None,
-                   film=None, persistent=False, mega=False):
+                   film=None, persistent=False):
     """Progressive multi-device render (the multi-chip `runtime.render`).
 
     Returns the accumulated film (still row-sharded; arrays gather
@@ -131,10 +131,9 @@ def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
 
     pass_fn = (render_pass_sharded_persistent if persistent
                else render_pass_sharded)
-    extra = {"mega": mega} if persistent else {}
     jitted = jax.jit(
         partial(pass_fn, width=width, height=height,
-                max_depth=max_depth, mesh=mesh, **extra),
+                max_depth=max_depth, mesh=mesh),
         static_argnames=("samples",))
 
     chunk = samples_per_pass or spp
@@ -149,13 +148,12 @@ def render_sharded(scene, camera, width, height, mesh, spp=64, seed=1,
 def render_pass_sharded_persistent(scene, camera, film: Film, seed,
                                    sample_start, *, width, height,
                                    samples, max_depth, mesh, pool=None,
-                                   mega=False, pend=False):
+                                   pend=False):
     """Multi-device ray-regeneration pass: each device's lane pool
     consumes its own (row-tile x sample-stride) work queue; the only
     collective is one psum of the spp-axis contribution deltas."""
     from ..integrator.persistent import (render_samples_persistent,
-                                         POOL, _mega_enabled,
-                                         _pend_enabled)
+                                         POOL, _pend_enabled)
 
     n_tile = mesh.shape[TILE_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
@@ -167,13 +165,7 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
     my_samples = samples // n_spp
     pool = pool or POOL
     # Resolve outside shard_map: inside, pixel_offset is traced.
-    mega = _mega_enabled(scene, mega, rr_depth=None, sort_rays=False,
-                         pool=pool, width=width, height=height,
-                         slots=None, n_pixels=rows_per * width)
-    if mega:
-        from ..ops import pallas_megastep as mk
-        scene = mk.with_sphere_bvh(scene)
-    pend = _pend_enabled(pend, mega=mega, pool=pool, width=width,
+    pend = _pend_enabled(pend, pool=pool, width=width,
                          height=height, slots=None)
     # n_pixels layout differs per shard; re-gate on the local shape.
     if pend:
@@ -194,7 +186,7 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
             film_sum=fs_in, depth_sum=ds_in,
             pixel_offset=tile * rows_per * width,
             n_pixels=rows_per * width,
-            sample_stride=n_spp, mega=mega, pend=pend)
+            sample_stride=n_spp, pend=pend)
         # Each spp rank added its own samples on top of the shared base;
         # psum the deltas so the base isn't multiplied.
         fs = fs_in + jax.lax.psum(fs_out - fs_in, SPP_AXIS)
@@ -211,7 +203,7 @@ def render_pass_sharded_persistent(scene, camera, film: Film, seed,
         # Pallas kernels don't propagate varying-manual-axes typing
         # through interpret-mode bodies; fall back to the legacy
         # auto-pbroadcast behavior when one is in the graph.
-        check_vma=not (mega or pend),
+        check_vma=not pend,
     )
     new_sum, new_depth, new_samples = fn(
         scene, camera, film.sum, film.depth_sum, film.samples)

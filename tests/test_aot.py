@@ -2,9 +2,10 @@
 
 libtpu ships in the image, so an unattached v5e topology client runs
 the full XLA+Mosaic pipeline locally (tools/aot_check.py).  This test
-keeps the megastep kernel compilable for TPU: interpret-mode tests
-can't catch unimplemented Mosaic primitives (e.g. jnp.cbrt) or tiling
-violations.
+keeps the PRODUCTION persistent step — with the packet kernels the
+TPU dispatch actually selects — compilable for TPU: interpret-mode
+tests can't catch unimplemented Mosaic primitives (e.g. jnp.cbrt) or
+tiling violations.
 """
 
 import os
@@ -30,13 +31,20 @@ def topo_sharding():
     return NamedSharding(mesh, P())
 
 
-def test_megastep_compiles_for_tpu(topo_sharding):
+@pytest.mark.parametrize("scene_name", ["rtiow", "eve"])
+def test_production_step_compiles_for_tpu(topo_sharding, scene_name,
+                                          monkeypatch):
+    """One persistent wavefront step per kernel family (sphere packet
+    BVH for rtiow's class, two-level packet TLAS for eve's) through
+    the REAL TPU kernel selection, compiled by the local Mosaic
+    pipeline."""
     from mrt.scenes import get
-    from mrt.ops import pallas_megastep as mk
     import mrt.integrator.persistent as PP
+    import mrt.geometry.spheres as sph_mod
 
-    scene, camera = get("rtiow")(aspect_ratio=2.0, grid=6).generate()
-    scene = mk.with_sphere_bvh(scene)
+    monkeypatch.setattr(sph_mod, "_use_pallas",
+                        lambda kind="packet": True)
+    scene, camera = get(scene_name)(aspect_ratio=2.0).generate()
     w, h, samples, pool, depth = 64, 32, 2, 2048, 8
 
     (total, make_rays, step, maybe_flush, finalize, layout,
@@ -46,19 +54,11 @@ def test_megastep_compiles_for_tpu(topo_sharding):
     dest = jnp.zeros((slots_eff if big_mode else npix_pad, 4),
                      jnp.float32)
     state = PP._init_state(make_rays, pool, dest, jnp.float32(0),
-                           jnp.int32(0), PP._BIG, neutral, mega=True)
-
-    def blk(st):
-        return mk.run_block(
-            scene, camera, st, width=w, height=h, seed=1,
-            sample_start=0, samples=samples, max_depth=depth, pool=pool,
-            slots_eff=slots_eff if big_mode else npix_pad,
-            big_mode=big_mode, k_steps=8, t_min=PP.T_MIN,
-            neutral=neutral, rr_depth=2)
+                           jnp.int32(0), PP._BIG, neutral)
 
     avals = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
                                        jnp.asarray(x).dtype,
                                        sharding=topo_sharding), state)
-    compiled = jax.jit(blk).lower(avals).compile()
+    compiled = jax.jit(step).lower(avals).compile()
     assert compiled.as_text()  # compiled artifact exists

@@ -1,7 +1,7 @@
 """Pending-deposit film mode (ops/pallas_deposit): per-lane accumulate
 + predicated deposit kernel vs the per-step XLA scatter.
 
-Unlike the megastep, this mode leaves every trajectory bit-identical
+Unlike the (deleted) megastep kernel, this mode leaves every trajectory bit-identical
 (same intersect/shade/RNG ops) — only the film accumulation grouping
 changes (per-item sums deposited at death), so films must agree to
 float-association tolerance everywhere.

@@ -10,7 +10,7 @@ compilation and VMEM allocation) on this host:
 
 Catches unimplemented Mosaic primitives, layout errors, and VMEM
 overflows before ever touching the axon tunnel.  (Found this way:
-jnp.cbrt unimplemented in the megastep kernel.)
+jnp.cbrt unimplemented in a Pallas kernel.)
 
 Notes:
   - avals must carry a sharding on a ONE-device topology mesh, or XLA
@@ -44,47 +44,25 @@ def main():
                 jnp.shape(x), jnp.asarray(x).dtype, sharding=rep), tree)
 
     from mrt.scenes import get
-    from mrt.ops import pallas_megastep as mk
     import mrt.integrator.persistent as PP
+    import mrt.geometry.spheres as sph_mod
 
+    sph_mod._use_pallas = lambda kind="packet": True  # force TPU path
     scene, camera = get("rtiow")(aspect_ratio=16 / 9).generate()
-    scene = mk.with_sphere_bvh(scene)
     w, h, samples, pool, depth = 1920, 1080, 8, 1 << 16, 50
 
-    (total, make_rays, step, maybe_flush, finalize, layout,
-     neutral) = PP._build(scene, camera, w, h, 1, 0, samples, depth,
-                          pool, 0, None, 1, None, None)
-    slots_eff, slab, npix_pad, big_mode = layout
-    dest = jnp.zeros((slots_eff if big_mode else npix_pad, 4),
-                     jnp.float32)
-    state = PP._init_state(make_rays, pool, dest, jnp.float32(0),
-                           jnp.int32(0),
-                           jnp.int32(slots_eff) * samples, neutral,
-                           mega=True)
-
     checks = []
-
-    def blk(st):
-        return mk.run_block(
-            scene, camera, st, width=w, height=h, seed=1,
-            sample_start=0, samples=samples, max_depth=depth, pool=pool,
-            slots_eff=slots_eff, big_mode=big_mode, k_steps=8,
-            t_min=PP.T_MIN, neutral=neutral)
-
-    checks.append(("megastep block 1080p pool 2^16",
-                   blk, (shaped(state),)))
 
     def chunk(st, film):
         return PP._chunk_run(scene, camera, st, film, 1, 0, samples,
                              jnp.int32(64), width=w, height=h,
-                             max_depth=depth, pool=pool, rr_depth=None,
-                             mega=True)
+                             max_depth=depth, pool=pool, rr_depth=None)
 
     st0, film0 = PP._chunk_init(
         scene, camera, jnp.zeros((w * h, 3)),
         jnp.zeros((w * h,), jnp.int32), 1, 0, samples, width=w,
-        height=h, max_depth=depth, pool=pool, rr_depth=None, mega=True)
-    checks.append(("mega chunk driver (while_loop + flush)",
+        height=h, max_depth=depth, pool=pool, rr_depth=None)
+    checks.append(("production chunk driver 1080p pool 2^16",
                    chunk, (shaped(st0), shaped(film0))))
 
     def pend_chunk(st, film):

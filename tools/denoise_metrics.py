@@ -64,7 +64,7 @@ def main():
     ap.add_argument("--spp-ref", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", "denoise_r03.json"))
+        "artifacts", "denoise_r04.json"))
     args = ap.parse_args()
 
     from mrt.scenes import get

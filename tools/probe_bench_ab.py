@@ -14,7 +14,8 @@ xla-x number was the brute scan re-measured).
   xla-packet : current default (sphere BVH packet kernel)
   xla-brute  : sphere_bvh dropped -> fused XLA chunk scan
   xla-x      : sphere_bvh dropped + expanded dense Pallas sphere kernel
-  mega       : fused Pallas megastep kernel
+(The megastep variant was removed with the kernel in round 4 —
+artifacts/megastep_r04.json records its final losing A/B.)
 """
 import os
 import subprocess
@@ -25,16 +26,15 @@ POOL = 1 << 16
 W, H, SPP, DEPTH = 1920, 1080, 8, 50
 
 VARIANTS = {
-    # name: (drop_sphere_bvh, mega, MRT_SPHERE_KERNEL)
-    "xla-packet": (False, False, None),
-    "xla-brute": (True, False, None),
-    "xla-x": (True, False, "x"),
-    "mega": (False, True, None),
+    # name: (drop_sphere_bvh, MRT_SPHERE_KERNEL)
+    "xla-packet": (False, None),
+    "xla-brute": (True, None),
+    "xla-x": (True, "x"),
 }
 
 
 def run_variant(name):
-    drop_bvh, mega, skern = VARIANTS[name]
+    drop_bvh, skern = VARIANTS[name]
     import jax
 
     print("devices:", jax.devices(), flush=True)
@@ -49,7 +49,7 @@ def run_variant(name):
         t0 = time.time()
         s, d = render_samples_chunked(
             scene, camera, W, H, 1, 0, SPP, max_depth=DEPTH,
-            pool=POOL, mega=mega)
+            pool=POOL)
         jax.block_until_ready(s)
         dt = time.time() - t0
     print(f"{name:10s} {dt:7.2f}s warm  "

@@ -33,7 +33,7 @@ def main():
                              jnp.float32)
             state = PP._init_state(
                 make_rays, POOL, dest, jnp.float32(0), jnp.int32(0),
-                jnp.int32(slots_eff) * samples, neutral, mega=pend)
+                jnp.int32(slots_eff) * samples, neutral, pending=pend)
 
             blk = jax.jit(lambda st: jax.lax.fori_loop(
                 0, K, lambda i, s: step(s), st))

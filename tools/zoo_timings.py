@@ -1,7 +1,7 @@
 """Render every zoo scene on the TPU at preview size; record cold and
 steady pass times (the steady number is the comparable one — the first
 pass includes the remote compile).  One process, one shape.  Writes
-artifacts/zoo_r03.json (VERDICT r2 #10: committed, regenerable
+artifacts/zoo_r04.json (VERDICT r2 #10: committed, regenerable
 artifacts for every cited number).
 """
 import json
@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "artifacts", "zoo_r03.json")
+    os.path.abspath(__file__))), "artifacts", "zoo_r04.json")
 
 
 def main():
@@ -40,12 +40,18 @@ def main():
                                       max_depth=DEPTH, samples=SPP)
         film.sum.block_until_ready()
         cold = time.time() - t0
-        t0 = time.time()
-        film = render_pass_persistent(scene, camera, film, 1, SPP,
-                                      width=W, height=H,
-                                      max_depth=DEPTH, samples=SPP)
-        film.sum.block_until_ready()
-        dt = time.time() - t0
+        # MIN of 3 steady reps (BASELINE "Measurement protocol
+        # correction": first post-idle dispatches read 20-70% slow).
+        times = []
+        for rep in range(3):
+            t0 = time.time()
+            film = render_pass_persistent(scene, camera, film, 1,
+                                          SPP * (rep + 1),
+                                          width=W, height=H,
+                                          max_depth=DEPTH, samples=SPP)
+            film.sum.block_until_ready()
+            times.append(time.time() - t0)
+        dt = min(times)
         rays = W * H * SPP
         rows[name] = {"build_s": round(build, 2), "cold_s": round(cold, 2),
                       "steady_s": round(dt, 3),
