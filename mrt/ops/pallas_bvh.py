@@ -521,7 +521,8 @@ def traverse_bvh_tris(tris, bvh, o, d, t_min, t_max, interpret=False):
 
 
 def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
-                 bnodes_ref, bmeta_ref, tri_ref, o_ref, d_ref, tmax_ref,
+                 bnodes_ref, bmeta_ref, tri_ref, o_ref, d_ref, tmin_ref,
+                 tmax_ref,
                  t_out, inst_out, tri_out, u_out, v_out, stack_ref, *,
                  n_tlas):
     ox, oy, oz = o_ref[0], o_ref[1], o_ref[2]
@@ -531,8 +532,10 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
     inv_dx = 1.0 / dx
     inv_dy = 1.0 / dy
     inv_dz = 1.0 / dz
-    t_min = scalars_ref[0]
-    det_eps = scalars_ref[1]
+    # Per-lane t_min (alpha re-cast vectors; pad lanes carry
+    # t_min 1 > t_max 0 so they can't extend traversal).
+    t_min = tmin_ref[:]
+    det_eps = scalars_ref[0]
     t_max = tmax_ref[:]
 
     def slab(lo, hi, o_c, inv_c, near, far):
@@ -555,7 +558,7 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
              lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
              bt, b_inst, b_tri, bu, bv) = c
             n = tnode
-            near = jnp.full_like(bt, t_min)
+            near = t_min
             far = jnp.minimum(bt, t_max)
             near, far = slab(tnodes_ref[0, n], tnodes_ref[3, n],
                              ox, inv_dx, near, far)
@@ -603,7 +606,7 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
              lox, loy, loz, ldx, ldy, ldz, lix, liy, liz,
              bt, b_inst, b_tri, bu, bv) = c
             n = bnode
-            near = jnp.full_like(bt, t_min)
+            near = t_min
             far = jnp.minimum(bt, t_max)
             near, far = slab(bnodes_ref[0, n], bnodes_ref[3, n],
                              lox, lix, near, far)
@@ -689,7 +692,7 @@ def _tlas_kernel(scalars_ref, tnodes_ref, tmeta_ref, inst_ref, imeta_ref,
 
 def _tlas_kernel_ordered(scalars_ref, tnodes_ref, tmeta_ref, inst_ref,
                          imeta_ref, bnodes_ref, bmeta_ref, tri_ref,
-                         o_ref, d_ref, tmax_ref, t_out, inst_out,
+                         o_ref, d_ref, tmin_ref, tmax_ref, t_out, inst_out,
                          tri_out, u_out, v_out, stack_ref, *, n_tlas):
     """Front-to-back two-level traversal with one tagged SMEM stack.
 
@@ -706,8 +709,10 @@ def _tlas_kernel_ordered(scalars_ref, tnodes_ref, tmeta_ref, inst_ref,
     inv_dx = 1.0 / dx
     inv_dy = 1.0 / dy
     inv_dz = 1.0 / dz
-    t_min = scalars_ref[0]
-    det_eps = scalars_ref[1]
+    # Per-lane t_min (alpha re-cast vectors; pad lanes carry
+    # t_min 1 > t_max 0 so they can't extend traversal).
+    t_min = tmin_ref[:]
+    det_eps = scalars_ref[0]
     t_max = tmax_ref[:]
     wnegx, wnegy, wnegz = _majority_negs(dx, dy, dz, t_max, t_min)
 
@@ -732,7 +737,7 @@ def _tlas_kernel_ordered(scalars_ref, tnodes_ref, tmeta_ref, inst_ref,
         #   local ray 9, local negs 3, bt, b_inst, b_tri, bu, bv)
         def tlas_phase(_):
             n = cur
-            near = jnp.full_like(bt, t_min)
+            near = t_min
             far = jnp.minimum(bt, t_max)
             near, far = slab(tnodes_ref[0, n], tnodes_ref[3, n],
                              ox, inv_dx, near, far)
@@ -784,7 +789,7 @@ def _tlas_kernel_ordered(scalars_ref, tnodes_ref, tmeta_ref, inst_ref,
 
         def blas_phase(_):
             n = cur
-            near = jnp.full_like(bt, t_min)
+            near = t_min
             far = jnp.minimum(bt, t_max)
             near, far = slab(bnodes_ref[0, n], bnodes_ref[3, n],
                              lox, lix, near, far)
@@ -898,13 +903,12 @@ def _tlas_kernel_ordered(scalars_ref, tnodes_ref, tmeta_ref, inst_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ordered"))
 def _traverse_tlas(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
-                   o3, d3, t_min, det_eps, t_max2, interpret=False,
+                   o3, d3, t_min2, det_eps, t_max2, interpret=False,
                    ordered=ORDERED):
     r = o3.shape[1]
     mt = tnodes.shape[1]
     grid = (pl.cdiv(r, BLOCK_ROWS),)
-    scalars = jnp.stack([jnp.asarray(t_min, jnp.float32),
-                         jnp.asarray(det_eps, jnp.float32)])
+    scalars = jnp.stack([jnp.asarray(det_eps, jnp.float32)])
 
     kernel = functools.partial(
         _tlas_kernel_ordered if ordered else _tlas_kernel, n_tlas=mt)
@@ -923,7 +927,7 @@ def _traverse_tlas(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
                 smem(tnodes.shape), smem(tmeta.shape), smem(inst.shape),
                 smem(imeta.shape), smem(bnodes.shape), smem(bmeta.shape),
                 smem(tri.shape),
-                ray_spec, ray_spec, out_spec,
+                ray_spec, ray_spec, out_spec, out_spec,
             ],
             out_specs=[out_spec] * 5,
             # One tagged stack: TLAS depth + BLAS depth (balanced
@@ -939,7 +943,7 @@ def _traverse_tlas(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
         ],
         interpret=interpret,
     )(scalars, tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
-      o3, d3, t_max2)
+      o3, d3, t_min2, t_max2)
     return outs
 
 
@@ -996,13 +1000,19 @@ def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False):
     o3 = to3(o, 0.0)
     d3 = to3(jnp.where(jnp.sum(d * d, axis=-1, keepdims=True) > 0.0,
                        d, 1.0), 1.0)
+    # Pad lanes carry (t_min 1, t_max 0): an empty interval that can't
+    # extend the packet traversal or accept a hit.  t_min may be a
+    # per-lane vector (alpha re-cast rounds).
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_min2 = jnp.full((n_pad,), jnp.float32(1.0)).at[:n].set(
+        t_min_b).reshape(rows, LANE)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t_max2 = jnp.full((n_pad,), jnp.float32(t_min)).at[:n].set(
+    t_max2 = jnp.full((n_pad,), jnp.float32(0.0)).at[:n].set(
         t_max_b).reshape(rows, LANE)
 
     t, bi, btri, u, v = _traverse_tlas(
         tnodes, tmeta, inst, imeta, bnodes, bmeta, tri, o3, d3,
-        jnp.asarray(t_min, jnp.float32),
+        t_min2,
         jnp.asarray(DET_EPS, jnp.float32), t_max2, interpret=interpret,
         ordered=tlas_ordered(int(tlas.transform.shape[0])))
     flat = lambda x: x.reshape(-1)[:n]

@@ -151,7 +151,7 @@ def _build_kernel(streamed, n_tlas, nodma=False):
     """streamed: dict name -> bool (static); returns the kernel fn."""
 
     def kernel(scalars_ref, tnodes, tmeta, inst, imeta, bnodes, bmeta,
-               tri, o_ref, d_ref, tmax_ref,
+               tri, o_ref, d_ref, tmin_ref, tmax_ref,
                t_out, inst_out, tri_out, u_out, v_out, *scratch):
         # ---- unpack scratch: per streamed group (f_cache, i_cache?,
         # tags, rr), then the shared DMA semaphore pair ----------------
@@ -195,8 +195,10 @@ def _build_kernel(streamed, n_tlas, nodma=False):
         inv_dx = 1.0 / dx
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
-        t_min = scalars_ref[0]
-        det_eps = scalars_ref[1]
+        # Per-lane t_min (alpha re-cast vectors; pad lanes carry
+        # t_min 1 > t_max 0 so they can't extend traversal).
+        t_min = tmin_ref[:]
+        det_eps = scalars_ref[0]
         t_max = tmax_ref[:]
 
         def slab(lo, hi, o_c, inv_c, near, far):
@@ -220,7 +222,7 @@ def _build_kernel(streamed, n_tlas, nodma=False):
                  bt, b_inst, b_tri, bu, bv) = c
                 n = tnode
                 tf, ti = tn_entry(n)
-                near = jnp.full_like(bt, t_min)
+                near = t_min
                 far = jnp.minimum(bt, t_max)
                 near, far = slab(tf(0), tf(3), ox, inv_dx, near, far)
                 near, far = slab(tf(1), tf(4), oy, inv_dy, near, far)
@@ -264,7 +266,7 @@ def _build_kernel(streamed, n_tlas, nodma=False):
                  bt, b_inst, b_tri, bu, bv) = c
                 n = bnode
                 bf, bi_ = bn_entry(n)
-                near = jnp.full_like(bt, t_min)
+                near = t_min
                 far = jnp.minimum(bt, t_max)
                 near, far = slab(bf(0), bf(3), lox, lix, near, far)
                 near, far = slab(bf(1), bf(4), loy, liy, near, far)
@@ -401,13 +403,12 @@ def _normalize_plan(streamed) -> dict:
                                              "interpret", "block_rows",
                                              "nodma"))
 def _traverse(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
-              o3, d3, t_min, det_eps, t_max2, streamed_key, n_tlas,
+              o3, d3, t_min2, det_eps, t_max2, streamed_key, n_tlas,
               interpret=False, block_rows=BLOCK_ROWS, nodma=False):
     streamed = dict(zip(_ORDER, streamed_key))
     r = o3.shape[1]
     grid = (pl.cdiv(r, block_rows),)
-    scalars = jnp.stack([jnp.asarray(t_min, jnp.float32),
-                         jnp.asarray(det_eps, jnp.float32)])
+    scalars = jnp.stack([jnp.asarray(det_eps, jnp.float32)])
 
     # n_tlas is the UNPADDED node count: escape indices terminate at it,
     # so lane-pad nodes are never visited (and never DMA'd).
@@ -451,7 +452,7 @@ def _traverse(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
                 table_spec(bnodes.shape, streamed["blas"]),
                 table_spec(bmeta.shape, streamed["blas"]),
                 table_spec(tri.shape, streamed["tri"]),
-                ray_spec, ray_spec, out_spec,
+                ray_spec, ray_spec, out_spec, out_spec,
             ],
             out_specs=[out_spec] * 5,
             scratch_shapes=scratch,
@@ -465,7 +466,7 @@ def _traverse(tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
         ],
         interpret=interpret,
     )(scalars, tnodes, tmeta, inst, imeta, bnodes, bmeta, tri,
-      o3, d3, t_max2)
+      o3, d3, t_min2, t_max2)
     return outs
 
 
@@ -561,13 +562,18 @@ def intersect_tlas(tlas, o, d, t_min, t_max, interpret=False,
     o3 = to3(o, 0.0)
     d3 = to3(jnp.where(jnp.sum(d * d, axis=-1, keepdims=True) > 0.0,
                        d, 1.0), 1.0)
+    # Pad lanes carry (t_min 1, t_max 0): an empty interval.  t_min
+    # may be a per-lane vector (alpha re-cast rounds).
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_min2 = jnp.full((n_pad,), jnp.float32(1.0)).at[:n].set(
+        t_min_b).reshape(rows, LANE)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t_max2 = jnp.full((n_pad,), jnp.float32(t_min)).at[:n].set(
+    t_max2 = jnp.full((n_pad,), jnp.float32(0.0)).at[:n].set(
         t_max_b).reshape(rows, LANE)
 
     t, bi, btri, u, v = _traverse(
         tnodes, tmeta, inst, imeta, bnodes, bmeta, tri, o3, d3,
-        jnp.asarray(t_min, jnp.float32),
+        t_min2,
         jnp.asarray(DET_EPS, jnp.float32), t_max2, streamed_key, mt,
         interpret=interpret, block_rows=block_rows)
     flat = lambda x: x.reshape(-1)[:n]

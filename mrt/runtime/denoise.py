@@ -56,11 +56,12 @@ def denoise(rgb, albedo=None, normal=None, iterations=3,
     Defaults were grid-searched against converged references on the
     captured buffers (tools/denoise_tune.py, artifacts/
     denoise_buffers.npz): iterations=3 + sigma_color=0.2 lifted rtiow
-    4-spp from 27.0 to 29.1 dB.  The no-NEE cornell regime is
+    4-spp from 27.05 to 29.13 dB (hardware-regenerated r4 artifact:
+    artifacts/denoise_r04.json).  The no-NEE cornell regime is
     energy-limited, not filter-limited — its 4-spp frame carries 18%
     of the converged energy with 7% non-black pixels, so no post
     filter can exceed ~11 dB there; the production answer is NEE
-    (see artifacts/denoise_r03.json's cornell_nee row).
+    (the same artifact's cornell_nee row: 13.41 -> 20.11 dB).
     """
     out = rgb
     if firefly_k:

@@ -214,6 +214,89 @@ class TestPallasTLAS:
                                    atol=2e-2)
 
 
+class TestVectorTmin:
+    """Per-lane t_min vectors (the alpha re-cast rounds) through every
+    packet kernel, vs the XLA fallbacks (which broadcast natively).
+    Scalar-broadcast results stay bit-identical (all real lanes carry
+    the same value); a mixed vector must match the fallback per lane."""
+
+    def _tlas(self, rng):
+        from mrt.geometry.instance import MeshRegistry
+        from mrt.geometry.shapes import cube, sphere_mesh
+
+        reg = MeshRegistry()
+        m1 = reg.add_mesh(cube(size=1.0, material=1))
+        m2 = reg.add_mesh(sphere_mesh(radius=0.6, lat=6, lon=8,
+                                      material=2))
+        for i in range(3):
+            reg.add_instance(m1, translation=(i * 2.0, 0.0, 0.0))
+            reg.add_instance(m2, translation=(i * 2.0, 0.0, 2.0))
+        return reg.build()
+
+    def test_tri_kernel_vector_tmin(self, rng):
+        from mrt.geometry import bvh as B
+        from mrt.ops import pallas_bvh as PB
+        from mrt.geometry.shapes import sphere_mesh
+
+        tris = sphere_mesh((0, 0, 0), 2.0, lat=10, lon=14)
+        bvh, reordered = B.build_over_triangles(tris)
+        nr = 512
+        o = jnp.asarray(rng.uniform(-5, 5, (nr, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((nr, 3)).astype(np.float32))
+        t_min = jnp.asarray(rng.uniform(1e-3, 3.0, nr).astype(np.float32))
+        hx = B.intersect_bvh(reordered, bvh, o, d, t_min, jnp.inf)
+        hp = PB.intersect_bvh_tris(reordered, bvh, o, d, t_min,
+                                   jnp.inf, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hx.hit),
+                                      np.asarray(hp.hit))
+        m = np.asarray(hx.hit)
+        np.testing.assert_allclose(np.asarray(hp.t)[m],
+                                   np.asarray(hx.t)[m], rtol=2e-3,
+                                   atol=1e-4)
+
+    def test_tlas_kernels_vector_tmin(self, rng, monkeypatch):
+        from mrt.geometry.instance import intersect_tlas
+        from mrt.ops import pallas_bvh as PB
+
+        tlas = self._tlas(rng)
+        nr = 512
+        o = jnp.asarray(rng.uniform(-2, 7, (nr, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((nr, 3)).astype(np.float32))
+        t_min = jnp.asarray(rng.uniform(1e-3, 2.0, nr).astype(np.float32))
+        hx = intersect_tlas(tlas, o, d, t_min, jnp.inf)
+        for ordered in ("0", "1"):
+            monkeypatch.setattr(PB, "_ORD_ENV", ordered)
+            hp = PB.intersect_tlas(tlas, o, d, t_min, jnp.inf,
+                                   interpret=True)
+            np.testing.assert_array_equal(np.asarray(hx.hit),
+                                          np.asarray(hp.hit))
+            m = np.asarray(hx.hit)
+            np.testing.assert_allclose(np.asarray(hp.t)[m],
+                                       np.asarray(hx.t)[m], rtol=2e-3,
+                                       atol=1e-4)
+
+    def test_stream_kernel_vector_tmin(self, rng):
+        from mrt.geometry.instance import intersect_tlas
+        from mrt.ops import pallas_stream as PS
+
+        tlas = self._tlas(rng)
+        nr = 256
+        o = jnp.asarray(rng.uniform(-2, 7, (nr, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((nr, 3)).astype(np.float32))
+        t_min = jnp.asarray(rng.uniform(1e-3, 2.0, nr).astype(np.float32))
+        hx = intersect_tlas(tlas, o, d, t_min, jnp.inf)
+        hp = PS.intersect_tlas(tlas, o, d, t_min, jnp.inf,
+                               interpret=True,
+                               streamed=dict(tlas=True, inst=True,
+                                             blas=True, tri=True))
+        np.testing.assert_array_equal(np.asarray(hx.hit),
+                                      np.asarray(hp.hit))
+        m = np.asarray(hx.hit)
+        np.testing.assert_allclose(np.asarray(hp.t)[m],
+                                   np.asarray(hx.t)[m], rtol=2e-3,
+                                   atol=1e-4)
+
+
 class TestOrderedRule:
     def test_tlas_ordered_auto_rule(self, monkeypatch):
         """Per-scene ordered-descent rule (VERDICT r3 #7): the TLAS
