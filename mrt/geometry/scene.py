@@ -57,6 +57,12 @@ class Scene:
     # iterative mix-resolution gathers in shading (a large win: table
     # gathers dominate shading cost on TPU).  Conservative default True.
     has_mix: bool = struct.field(pytree_node=False, default=True)
+    # Static: every texture id referenced by a MATERIAL row (tex,
+    # tex_no, tex_pmdg) is a RAW atlas row — combinators
+    # (YCbCr/blend/fallback) appear only in backgrounds.  True lets
+    # shading take the single-gather raw sample path (atlas.sample
+    # raw=True; bit-identical).  Conservative default False.
+    mat_tex_raw: bool = struct.field(pytree_node=False, default=False)
 
     # Cutout re-cast rounds: each round can see through one failed
     # alpha-tested surface per ray (stacked cutouts beyond this bound
@@ -297,6 +303,24 @@ class Scene:
         return self.background.eval(d, atlas=self.atlas)
 
 
+def with_atlas(scene: Scene, atlas) -> Scene:
+    """Attach a texture atlas to an already-built scene, recomputing
+    the atlas-dependent static flags (a bare scene.replace(atlas=...)
+    would leave them at their conservative defaults and pay doubled
+    texel gathers per material sample — tools/probe_eve_step)."""
+    from ..textures.atlas import RAW
+
+    kinds = np.asarray(atlas.kind)
+    ids = set()
+    for col in (scene.materials.tex, scene.materials.tex_no,
+                scene.materials.tex_pmdg):
+        for i in np.asarray(col):
+            if i >= 0:
+                ids.add(int(i))
+    raw = all(int(kinds[i]) == RAW for i in ids)
+    return scene.replace(atlas=atlas, mat_tex_raw=raw)
+
+
 def attach_lights(scene: Scene) -> Scene:
     """Opt in to next-event estimation: harvest emissive geometry into
     a light table (no-op when the scene has no lights)."""
@@ -439,9 +463,22 @@ class SceneBuilder:
                            material=jnp.int32(mat))
                 for reg, nid, mat in self._mesh_volumes)
 
+        mat_tex_raw = False
+        if self._atlas is not None:
+            from ..textures.atlas import RAW
+            kinds = np.asarray(self._atlas.kind)
+            ids = set()
+            for r in self._materials._rows:
+                for k in ("tex", "tex_no", "tex_pmdg"):
+                    v = r.get(k, -1)
+                    if v is not None and int(v) >= 0:
+                        ids.add(int(v))
+            mat_tex_raw = all(int(kinds[i]) == RAW for i in ids)
+
         scene = Scene(
             materials=self._materials.build(),
             background=self._background,
+            mat_tex_raw=mat_tex_raw,
             spheres=spheres,
             sphere_bvh=sphere_bvh,
             triangles=triangles,

@@ -85,15 +85,21 @@ class CubeMap:
     """
     faces: jnp.ndarray      # (6,) int32 texture ids, ctor order
     transform: jnp.ndarray  # (4,4)
+    # Static: all six face rows are RAW atlas rows (e.g. baked by
+    # envmaps.environment) -> eval takes the single-gather sample path
+    # (bit-identical; halves the dominant cubemap cost on TPU).
+    faces_raw: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, x_pos, x_neg, y_pos, y_neg, z_pos, z_neg,
-               transform=None):
+               transform=None, faces_raw=False):
         faces = jnp.asarray([x_pos, x_neg, y_pos, y_neg, z_pos, z_neg],
                             jnp.int32)
         if transform is None:
             transform = jnp.eye(4, dtype=jnp.float32)
-        return cls(faces=faces, transform=jnp.asarray(transform, jnp.float32))
+        return cls(faces=faces,
+                   transform=jnp.asarray(transform, jnp.float32),
+                   faces_raw=faces_raw)
 
     def eval(self, directions, atlas=None):
         p = jnp.einsum("ij,...j->...i", self.transform[:3, :3], directions)
@@ -121,5 +127,5 @@ class CubeMap:
         vv = 0.5 * (v / max_axis + 1.0)
         uv = jnp.stack([uu, vv], axis=-1)
         tex_ids = self.faces[index]
-        rgba = atlas.sample(tex_ids, uv)
+        rgba = atlas.sample(tex_ids, uv, raw=self.faces_raw)
         return rgba[..., :3]

@@ -49,9 +49,13 @@ def resolve_mix(materials: T.MaterialTable, rows, u_draws):
 
     ``u_draws`` is a list of MAX_MIX_DEPTH uniform arrays (rows-shaped);
     each nesting level consumes one, mirroring the reference's fresh
-    `f32::rand()` per Mix level (material.rs:403-407).
+    `f32::rand()` per Mix level (material.rs:403-407).  Only the
+    table's actual nesting depth is iterated (bit-exact: further
+    levels map rows to themselves) — each elided level saves a
+    full-table one-hot fetch.
     """
-    for u in u_draws:
+    for u in u_draws[:getattr(materials, "mix_depth",
+                              T.MAX_MIX_DEPTH)]:
         m = _rows_of(materials, rows)
         is_mix = _icol(m, T.MaterialTable.C_MTYPE) == T.MIX
         pick_left = u < m[:, T.MaterialTable.C_MIX_RATIO]
@@ -83,7 +87,8 @@ def surface_rgba(scene, rows, uv):
     if scene.atlas is None:
         return solid
     tex = _icol(m, T.MaterialTable.C_TEX)
-    sampled = scene.atlas.sample(jnp.maximum(tex, 0), uv)
+    sampled = scene.atlas.sample(jnp.maximum(tex, 0), uv,
+                                 raw=scene.mat_tex_raw)
     return jnp.where((tex >= 0)[:, None], sampled, solid)
 
 
@@ -95,11 +100,17 @@ def eve_surface(scene, rows, uv):
     materials = scene.materials
     atlas = scene.atlas
     m = _rows_of(materials, rows)
-    ar = atlas.sample(jnp.maximum(_icol(m, T.MaterialTable.C_TEX), 0),
-                      uv)
-    albedo, roughness = ar[..., :3], ar[..., 3]
+    # (A fused 32-col pair gather for ar+pmdg was tried and measured
+    # SLOWER on hardware — 4.2 vs 2x1.6 ms: the serial gather loop's
+    # cost grows with row bytes, so two 16-col fetches win.  See
+    # BASELINE r4 "texture gather work".)
+    ar = atlas.sample(
+        jnp.maximum(_icol(m, T.MaterialTable.C_TEX), 0),
+        uv, raw=scene.mat_tex_raw)
     pmdg = atlas.sample(
-        jnp.maximum(_icol(m, T.MaterialTable.C_TEX_PMDG), 0), uv)
+        jnp.maximum(_icol(m, T.MaterialTable.C_TEX_PMDG), 0), uv,
+        raw=scene.mat_tex_raw)
+    albedo, roughness = ar[..., :3], ar[..., 3]
     paint = pmdg[..., 0]
     mat_mask = pmdg[..., 1]
     dirt = pmdg[..., 2]
@@ -173,7 +184,8 @@ def apply_normal_maps(scene, hits, d_in):
     applies = ((_icol(m, T.MaterialTable.C_MTYPE) == T.EVE)
                & (tex_no >= 0) & hits.hit & has_frame)
 
-    px = scene.atlas.sample(jnp.maximum(tex_no, 0), hits.uv) * 2.0 - 1.0
+    px = scene.atlas.sample(jnp.maximum(tex_no, 0), hits.uv,
+                            raw=scene.mat_tex_raw) * 2.0 - 1.0
     x = 1.0 - px[..., 1] ** 2 - px[..., 3] ** 2
     z = jnp.sqrt(jnp.abs(x))
     tn = vec.unit(jnp.stack([px[..., 1], px[..., 3], z], axis=-1))
@@ -238,7 +250,8 @@ def _scatter_from(scene, rows, mtype, params, hits, d_in, sampler):
     else:
         tex = _icol(_rows_of(scene.materials, rows),
                     T.MaterialTable.C_TEX)
-        sampled = scene.atlas.sample(jnp.maximum(tex, 0), hits.uv)
+        sampled = scene.atlas.sample(jnp.maximum(tex, 0), hits.uv,
+                                     raw=scene.mat_tex_raw)
         rgba = jnp.where((tex >= 0)[:, None], sampled, solid_rgba)
     albedo = rgba[..., :3]
 

@@ -60,6 +60,15 @@ class MaterialTable:
     tex_pmdg: jnp.ndarray   # (M,)  paint/material/dirt/glow texture id
     palette: jnp.ndarray    # (M,4,3) faction colors (eve.rs:136-198)
     glow3: jnp.ndarray      # (M,3) glow color
+    # Static: the table's ACTUAL max Mix nesting depth (host-computed
+    # at build).  shade.resolve_mix iterates only this many levels —
+    # bit-exact vs iterating MAX_MIX_DEPTH, since a level with no MIX
+    # rows left maps every row to itself, but each elided level saves
+    # a full-table one-hot fetch in BOTH the emission and scatter
+    # streams (eve: depth 1, was 4).  Sampler draws are unchanged
+    # (resolve_rows always advances MAX_MIX_DEPTH draws).
+    mix_depth: int = struct.field(pytree_node=False,
+                                  default=MAX_MIX_DEPTH)
 
     @property
     def count(self):
@@ -212,6 +221,7 @@ class MaterialBuilder:
             d = 1 + max(depth(r["mix_left"], seen | {i}),
                         depth(r["mix_right"], seen | {i}))
             return d
+        max_d = 0
         for i in range(len(self._rows)):
             d = depth(i, frozenset())
             if d > MAX_MIX_DEPTH:
@@ -220,11 +230,13 @@ class MaterialBuilder:
                     f"resolves at most MAX_MIX_DEPTH={MAX_MIX_DEPTH} "
                     "(raise mrt.materials.table.MAX_MIX_DEPTH or flatten "
                     "the mix tree)")
+            max_d = max(max_d, d)
+        return max_d
 
     def build(self) -> MaterialTable:
         if not self._rows:
             self.null()
-        self._check_mix_depth()
+        mix_depth = self._check_mix_depth()
         rows = self._rows
         f32 = np.float32
         return MaterialTable(
@@ -245,4 +257,5 @@ class MaterialBuilder:
             palette=jnp.asarray(
                 np.array([r["palette"] for r in rows], f32)),
             glow3=jnp.asarray(np.array([r["glow3"] for r in rows], f32)),
+            mix_depth=mix_depth,
         )

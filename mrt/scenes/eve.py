@@ -220,7 +220,8 @@ class Eve:
                         scale=0.2 * 100.0)  # stand-in spans ~6u, not ~600
 
         # Atlas built last: ship textures were added during load_ship.
-        scene = sb.build().replace(atlas=atlas.build())
+        from ..geometry.scene import with_atlas
+        scene = with_atlas(sb.build(), atlas.build())
 
         focus_distance = float(np.linalg.norm(look_from
                                               - np.asarray(orca_pos)))

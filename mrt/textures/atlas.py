@@ -96,6 +96,10 @@ class TextureAtlas:
     # Static: every row is RAW (no combinators) -> sample() can skip the
     # right-child sample and the combinator selects entirely.
     all_raw: bool = struct.field(pytree_node=False, default=False)
+    # (A 32-col PAIRED texel buffer fetching two same-shape textures
+    # in one gather was tried in r4 and measured SLOWER on hardware —
+    # the serial gather loop's cost grows with row bytes, so two
+    # 16-col quad fetches win.  See BASELINE r4.)
 
     @property
     def count(self):
@@ -159,11 +163,20 @@ class TextureAtlas:
         p1 = texel(x0, y1) * (1.0 - tx) + texel(x1, y1) * tx
         return p1 * ty + p0 * (1.0 - ty)
 
-    def sample(self, ids, uv):
+    def sample(self, ids, uv, raw=False):
         """Sample any row kind for a wavefront: ids (N,), uv (N,2) ->
-        (N,4) RGBA."""
+        (N,4) RGBA.
+
+        raw=True asserts every id is a RAW row (static, caller-proved
+        — e.g. Scene.mat_tex_raw: all material-referenced textures are
+        raw, combinators only in the background).  Bit-identical to
+        the general path for raw ids (kind==RAW selects `sl`, and a
+        RAW row's left child is itself) but does ONE texel gather
+        instead of two — gathers lower to serial per-row loops on TPU
+        (~2.4 ms per sample at 2^16 lanes, tools/probe_eve_step.py),
+        so this halves the dominant cost of textured shading."""
         ids = jnp.asarray(ids)
-        if self.all_raw:
+        if self.all_raw or raw:
             # left == self for RAW rows; no combinator resolution.
             return self._sample_raw(ids, uv)
         meta = self._meta_rows(ids)
@@ -323,6 +336,15 @@ class AtlasBuilder:
         g = lambda k, dt: jnp.asarray(np.array([r[k] for r in rows], dt))
         data = np.concatenate(self._pixels, axis=0)
 
+        def quads(r):
+            off, w, h = r["offset"], r["width"], r["height"]
+            img = data[off:off + h * w].reshape(h, w, 4)
+            xp = np.minimum(np.arange(w) + 1, w - 1)
+            yp = np.minimum(np.arange(h) + 1, h - 1)
+            return np.concatenate(
+                [img, img[:, xp], img[yp], img[yp][:, xp]],
+                axis=-1).reshape(-1, 16)
+
         qdata = None
         if data.shape[0] <= self.QUAD_TEXEL_LIMIT:
             q = np.zeros((data.shape[0], 16), np.float32)
@@ -330,13 +352,7 @@ class AtlasBuilder:
                 if r["kind"] != RAW:
                     continue
                 off, w, h = r["offset"], r["width"], r["height"]
-                img = data[off:off + h * w].reshape(h, w, 4)
-                xp = np.minimum(np.arange(w) + 1, w - 1)
-                yp = np.minimum(np.arange(h) + 1, h - 1)
-                packed = np.concatenate(
-                    [img, img[:, xp], img[yp], img[yp][:, xp]],
-                    axis=-1)
-                q[off:off + h * w] = packed.reshape(-1, 16)
+                q[off:off + h * w] = quads(r)
             qdata = jnp.asarray(q)
 
         meta = None
