@@ -121,6 +121,27 @@ class Scene:
         return (self.sphere_bvh is not None and self.spheres is not None
                 and self.spheres.count >= self.SORT_MIN_SPHERES)
 
+    # Hardware-swept sort cadence (tools/probe_sort_cadence.py,
+    # artifacts/sort_cadence_r04.json): the ~1.3 ms argsort every step
+    # only pays for itself on HEAVY divergence — lucy (122 inst)
+    # degrades monotonically past cadence 1 (2.40 -> 3.09 s at 8) and
+    # streamed Menger measured 0% win at cadence 8 (r2), while eve
+    # (37 inst, +19%) and sphere_grid (10k spheres, +21%) both peak
+    # at cadence 4.  Film changes are permutation-order-only (ulp
+    # f32 reassociation on duplicate same-pixel deposits).
+    SORT_CADENCE_HEAVY_INSTANCES = 64
+
+    def sort_cadence(self):
+        """Steps between lane sorts when sorting is on (1 = every)."""
+        from ..ops import budget
+        if self.tlas is not None:
+            if not budget.fits(budget.tlas_tables_bytes(self.tlas)):
+                return 1   # streamed: stale packets re-page blocks
+            if (self.tlas.transform.shape[0]
+                    >= self.SORT_CADENCE_HEAVY_INSTANCES):
+                return 1
+        return 4
+
     def intersect(self, o, d, t_min=T_MIN, t_max=jnp.inf,
                   sampler=None, shading_aux=True) -> Hits:
         """Closest hit of each ray against every primitive set.

@@ -110,9 +110,10 @@ def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
 
     if sort_rays is None:
         # Auto: coherence sorting pays for itself exactly where packet
-        # traversal diverges — large instanced scenes whose TLAS
-        # streams from HBM (Menger-class).
-        sort_rays = scene.prefers_sorted_rays()
+        # traversal diverges; the cadence (steps between sorts) is the
+        # hardware-swept per-scene rule (Scene.sort_cadence).
+        sort_rays = (scene.sort_cadence()
+                     if scene.prefers_sorted_rays() else 0)
 
     film_sum, depth_sum = render_samples_chunked(
         scene, camera, width, height, seed, sample_start, samples,
