@@ -76,3 +76,10 @@ def test_sort_auto_rule(monkeypatch):
     assert grid.prefers_sorted_rays()          # 10k-sphere BVH
     rtiow, _ = _make("rtiow").generate()
     assert not rtiow.prefers_sorted_rays()
+
+    # Cadence rule (tools/probe_sort_cadence.py r4): every step only on
+    # heavy divergence (lucy 122 inst degrades past 1; streamed Menger
+    # measured 0% at 8), else every 4 (eve +19%, sphere_grid +21%).
+    assert lucy.sort_cadence() == 1
+    assert eve.sort_cadence() == 4
+    assert grid.sort_cadence() == 4
