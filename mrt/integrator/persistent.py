@@ -188,7 +188,7 @@ def _flush_block(step, sorter, cadence):
 
 def _build(scene, camera, width, height, seed, sample_start, samples,
            max_depth, pool, pixel_offset, n_pixels, sample_stride,
-           rr_depth, slots=None, pend=False):
+           rr_depth, slots=None, pend=False, film_mm=0):
     """Returns (total, make_rays, step, layout) for the wavefront.
 
     Work items are PIXEL-MAJOR: item -> (pixel = item // samples,
@@ -201,6 +201,11 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
     # comparisons/arithmetic, never shapes — one compile serves any spp.
     layout = _slots_for(npix, slots)
     slots_eff, slab, npix_pad, big_mode = layout
+    film_mm = int(film_mm) if big_mode else 0
+    if film_mm:
+        assert not pend, "film_mm and pend film modes are exclusive"
+        assert film_mm <= slots_eff and film_mm % 128 == 0, (
+            film_mm, slots_eff)
 
     inv_w = 1.0 / jnp.float32(width)
     inv_h = 1.0 / jnp.float32(height)
@@ -311,7 +316,17 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         slot = q & jnp.int32(slots_eff - 1) if big_mode else q
         contrib = jnp.concatenate(
             [radiance_add, scat.astype(jnp.float32)[:, None]], axis=-1)
-        if pend:
+        if film_mm:
+            # Windowed one-hot MXU deposit (ops/film_deposit): claims
+            # are gated below so every live q sits in
+            # [min_live, min_live + film_mm).  Replaces the serial
+            # per-row scatter (permutation-ulp f32 reassociation only).
+            from ..ops import film_deposit
+
+            min_live = jnp.min(jnp.where(active, q, _BIG))
+            dest = film_deposit.deposit_matmul(dest, q, contrib,
+                                               min_live, film_mm)
+        elif pend:
             # Per-lane pending accumulator + predicated deposit kernel:
             # only dying lanes touch dest (~pool/avg_depth rows) instead
             # of a pool-row serial scatter every step.
@@ -339,6 +354,16 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         new_item = next_work + offsets
         if big_mode:
             limit = jnp.minimum(total, (flushed_q + slots_eff) * samples)
+            if film_mm:
+                # Deposit-window safety: a new claim's pixel must stay
+                # inside [min_live, min_live + W) at every FUTURE
+                # deposit; min_live is monotone, so gating on the
+                # current one suffices.  (Clamp before the multiply:
+                # min_live is 2^30 when no lane is live.)
+                win_lim = (jnp.minimum(min_live, jnp.int32(npix))
+                           + jnp.int32(film_mm))
+                limit = jnp.minimum(limit, win_lim
+                                    * jnp.asarray(samples, jnp.int32))
         else:
             limit = total
         takes = claim & (new_item < limit)
@@ -468,7 +493,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
                               pixel_offset=0, n_pixels=None,
                               sample_stride=1, rr_depth=None,
                               slots=None, sort_rays=False,
-                              pend=False):
+                              pend=False, film_mm=0):
     """Single device-side while_loop (for use inside jit/shard_map).
 
     Returns (film_sum (n_pixels,3), depth_sum (n_pixels,)) — pass them
@@ -492,14 +517,15 @@ def render_samples_persistent(scene, camera, width, height, seed,
      neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, pixel_offset, n_pixels, sample_stride, rr_depth,
-        slots, pend=pend)
+        slots, pend=pend, film_mm=film_mm)
     slots_eff, slab, npix_pad, big_mode = layout
 
     film = _pack_film(film_sum, depth_sum, npix_pad) + vzero_f
     if big_mode:
         dest = jnp.zeros((slots_eff, 4), jnp.float32)
         work_film = film
-        init_limit = jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
+        init_win = min(slots_eff, film_mm) if film_mm else slots_eff
+        init_limit = jnp.int32(init_win) * jnp.asarray(samples, jnp.int32)
     else:
         dest = jnp.zeros((npix_pad, 4), jnp.float32)
         work_film = film  # untouched until the final add
@@ -529,10 +555,10 @@ def render_samples_persistent(scene, camera, width, height, seed,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "pend"))
+                                   "sort_rays", "pend", "film_mm"))
 def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
                 samples, *, width, height, max_depth, pool, rr_depth,
-                slots=None, sort_rays=False, pend=False):
+                slots=None, sort_rays=False, pend=False, film_mm=0):
     (total, make_rays, step, maybe_flush, finalize, layout,
      neutral) = _build(
         scene, camera, width, height, seed, sample_start, samples,
@@ -542,7 +568,9 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
     dest = jnp.zeros((slots_eff if big_mode else npix_pad, 4),
                      jnp.float32)
     film = _pack_film(film_sum, depth_sum, npix_pad)
-    init_limit = (jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
+    init_win = (min(slots_eff, film_mm) if film_mm and big_mode
+                else slots_eff)
+    init_limit = (jnp.int32(init_win) * jnp.asarray(samples, jnp.int32)
                   if big_mode else _BIG)
     return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
                         init_limit, neutral, pending=bool(pend)), film)
@@ -550,15 +578,16 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "pend"))
+                                   "sort_rays", "pend", "film_mm"))
 def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
                chunk_steps, *, width, height, max_depth, pool, rr_depth,
-               slots=None, sort_rays=False, pend=False):
+               slots=None, sort_rays=False, pend=False, film_mm=0):
     # chunk_steps is TRACED: the adaptive driver changes it per chunk
     # without recompiling (remote compiles cost minutes here).
     total, _, step, maybe_flush, finalize, layout, neutral = _build(
         scene, camera, width, height, seed, sample_start, samples,
-        max_depth, pool, 0, None, 1, rr_depth, slots, pend=pend)
+        max_depth, pool, 0, None, 1, rr_depth, slots, pend=pend,
+        film_mm=film_mm)
     sorter = _make_sorter(scene, total) if sort_rays else None
     run_block = _flush_block(step, sorter,
                              int(sort_rays) or FLUSH_STEPS)
@@ -583,11 +612,11 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "pool", "rr_depth", "slots",
-                                   "sort_rays", "pend"))
+                                   "sort_rays", "pend", "film_mm"))
 def _chunk_finalize(scene, camera, state, film, seed, sample_start,
                     samples, *, width, height, max_depth, pool,
                     rr_depth, slots=None, sort_rays=False,
-                    pend=False):
+                    pend=False, film_mm=0):
     total, _, _, _, finalize, layout, _n = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots)
@@ -633,11 +662,48 @@ def _pend_enabled(pend, *, pool, width, height, slots):
 PEND_AUTO_ON = False
 
 
+def _film_mm_enabled(film_mm, *, samples, width, height, slots):
+    """Resolve the one-hot MXU film-deposit mode: None = auto.
+
+    Auto is TPU-only, big-frame-mode-only, and samples >= MM_MIN_SPP:
+    the claim gate spans W*samples work items, so low spp shrinks the
+    window's straggler headroom (a depth-d straggler pins min_live
+    while claims advance ~pool/avg_len items/step).  MRT_FILM_MM=1/0
+    forces; MRT_FILM_MM_W sets the window width."""
+    if film_mm is False or film_mm == 0:
+        return 0
+    from ..ops import film_deposit as fd
+
+    npix = width * height
+    slots_eff, slab, npix_pad, big_mode = _slots_for(npix, slots)
+    if not big_mode:
+        return 0
+    w = min(fd.DEFAULT_W, slots_eff)
+    if film_mm and film_mm is not True and film_mm is not None:
+        return min(int(film_mm), slots_eff)
+    flag = fd.mode()
+    if flag == "0":
+        return 0
+    if flag == "1" or film_mm is True:
+        return w
+    from ..geometry.spheres import _on_tpu
+    if MM_AUTO_ON and _on_tpu() and samples >= MM_MIN_SPP:
+        return w
+    return 0
+
+
+# Flip after hardware timing shows the windowed one-hot MXU deposit
+# beats the XLA pool-row scatter (tools/probe_film_mm.py).
+MM_AUTO_ON = False
+MM_MIN_SPP = 32
+
+
 def render_samples_chunked(scene, camera, width, height, seed,
                            sample_start, samples, max_depth=MAX_DEPTH,
                            pool=POOL, film_sum=None, depth_sum=None,
                            rr_depth=None, chunk_steps=CHUNK_STEPS,
-                           slots=None, sort_rays=False, pend=None):
+                           slots=None, sort_rays=False, pend=None,
+                           film_mm=None):
     """Python-driven chunked dispatches (single-chip fast path).
 
     Identical results to `render_samples_persistent`; each dispatch is
@@ -652,11 +718,13 @@ def render_samples_chunked(scene, camera, width, height, seed,
     if depth_sum is None:
         depth_sum = jnp.zeros((npix,), jnp.int32)
 
-    pend = _pend_enabled(pend, pool=pool, width=width,
-                         height=height, slots=slots)
+    film_mm = _film_mm_enabled(film_mm, samples=samples, width=width,
+                               height=height, slots=slots)
+    pend = False if film_mm else _pend_enabled(
+        pend, pool=pool, width=width, height=height, slots=slots)
     statics = dict(width=width, height=height, max_depth=max_depth,
                    pool=pool, rr_depth=rr_depth, slots=slots,
-                   sort_rays=sort_rays, pend=pend)
+                   sort_rays=sort_rays, pend=pend, film_mm=film_mm)
     state, film = _chunk_init(scene, camera, film_sum, depth_sum, seed,
                               sample_start, samples, **statics)
     steps = max(chunk_steps, FLUSH_STEPS)

@@ -1,0 +1,125 @@
+"""Windowed one-hot MXU film deposit — the scatter-floor attack.
+
+The persistent integrator's per-step film update
+(`dest.at[slot].add(contrib)`, integrator/persistent.py) lowers to a
+serial per-update-row loop on TPU: ~10-14 ns/row, 1.3-1.8 ms/step at
+pool 2^17 regardless of destination size (tools/profile_film2.py,
+BASELINE.md roofline).  That loop is the binding constraint on the
+RTIOW headline — the rest of the step is MXU/VPU work that gets
+~2.2-2.7x cheaper per the roofline.
+
+This module replaces the scatter with dense MXU work.  Work items are
+claimed pixel-major, so live pixels span a narrow moving window
+[min_live, min_live + W); the integrator gates claims to that window
+(persistent.py), and the deposit becomes
+
+    win[j] = sum_p onehot(q[p] - min_live == j) * contrib[p]
+    dest  += roll(pad(win), min_live mod slots)     # ring alignment
+
+i.e. a (W, P) x (P, C) matmul plus one full-ring elementwise add (the
+ring is ~4 MB; an elementwise add is ~20 us of HBM bandwidth vs the
+scatter's serial row loop).
+
+Two tricks make the matmul cheap:
+
+  * Two-level one-hot: a direct (P, W) iota-compare operand would cost
+    P*W VPU comparisons (~1.5 ms at W=16384) even though XLA fuses the
+    generation into the dot.  Factor idx = hi*L + lo: build
+    oh_lo (P, L) and oh_hi (P, W/L) — P*(L + W/L) comparisons — and
+    contract   dest[hi, (lo, c)] = oh_hi^T @ (oh_lo ⊗ parts).
+    The MXU FLOPs are identical (P*W*C*2); only the operand-generation
+    cost drops ~60x.
+  * 3-term bf16 value split (ops/rowlookup._split3): each f32
+    contribution becomes hi+mid+lo bf16 terms whose products with the
+    exact-{0,1} one-hot are exact; the f32 accumulator then sums them.
+    Unlike rowlookup's single-nonzero case this sums MANY lanes per
+    slot, so the result differs from the serial scatter only by f32
+    ADD REASSOCIATION (permutation-ulp class, ~1e-7 relative — the
+    same class as the wavefront-vs-batched accumulation difference,
+    tested to 1e-5).  Not bit-identical: opt-in/auto per measurement,
+    never silently under committed goldens (big-frame mode only).
+
+The reference's analogue is its per-pass film merge under a mutex
+(reference: src/main.rs:629-638); the cost being attacked is a
+TPU-only artifact of XLA's serial scatter lowering.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .rowlookup import _split3
+
+# Low-level one-hot width (the ⊗ factor).  L=128 matches the lane
+# width; the A-operand (P, L*12) is what XLA must fuse (or spill —
+# at L=128/pool 2^17 a spilled A is 400 MB; L=32 caps the spill at
+# 100 MB if fusion fails).  Hardware-swept via MRT_FILM_MM_L.
+DEFAULT_L = int(os.environ.get("MRT_FILM_MM_L", "128"))
+
+# Claim-window width (pixels).  Larger W = fewer claim stalls when a
+# deep straggler pins min_live (span ~ claim_rate * straggler_age)
+# but more MXU FLOPs (P*W*12*2).  Hardware-swept via MRT_FILM_MM_W.
+DEFAULT_W = int(os.environ.get("MRT_FILM_MM_W", "16384"))
+
+
+def mode():
+    """MRT_FILM_MM: '0' force-off, '1' force-on (TPU auto rule lives in
+    integrator.persistent._film_mm_enabled)."""
+    return os.environ.get("MRT_FILM_MM")
+
+
+def deposit_matmul(dest, q, contrib, base, W, L=None):
+    """dest[(base + j) & (slots-1)] += sum of contrib rows with
+    q - base == j, for j in [0, W).
+
+    Args:
+      dest:    (slots, C) f32 ring accumulator; slots a power of two,
+               W <= slots.
+      q:       (P,) int32 pixel/slot key per lane.  Rows with nonzero
+               contrib MUST satisfy base <= q < base + W (the
+               integrator's claim gate guarantees it); other rows may
+               hold any q as long as their contrib is exactly zero.
+      contrib: (P, C) f32.
+      base:    scalar int32 window base (min live q).  May be any
+               value (e.g. 2^30 when no lane is active) — alignment is
+               mod slots and zero contributions add zero.
+      W:       static window width, multiple of L.
+      L:       static low-level one-hot width (power of two).
+    Returns: updated dest.
+    """
+    slots, C = dest.shape
+    L = L or DEFAULT_L
+    assert W % L == 0 and W <= slots, (W, L, slots)
+    wh = W // L
+
+    idx = jnp.clip(q - base, 0, W - 1)
+    lo = idx & (L - 1)
+    hi = idx >> (L.bit_length() - 1)
+
+    h, m, l = _split3(contrib)
+    parts = jnp.concatenate([h, m, l], axis=-1)          # (P, 3C) bf16
+
+    oh_lo = (lo[:, None] == jnp.arange(L, dtype=lo.dtype)[None, :]
+             ).astype(jnp.bfloat16)                      # (P, L)
+    oh_hi = (hi[:, None] == jnp.arange(wh, dtype=hi.dtype)[None, :]
+             ).astype(jnp.bfloat16)                      # (P, wh)
+
+    # A[p, l*3C + c] = oh_lo[p, l] * parts[p, c] — the ⊗ operand XLA
+    # fuses into the dot's rhs load.
+    a = (oh_lo[:, :, None] * parts[:, None, :]).reshape(
+        parts.shape[0], L * 3 * C)
+    win = jax.lax.dot_general(
+        oh_hi, a, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (wh, L*3C)
+    win = win.reshape(W, 3 * C)
+    win = win[:, :C] + win[:, C:2 * C] + win[:, 2 * C:]  # hi+mid+lo
+
+    if W == slots:
+        pad = win
+    else:
+        pad = jnp.zeros((slots, C), jnp.float32).at[:W].set(win)
+    shift = base & (slots - 1)
+    return dest + jnp.roll(pad, shift, axis=0)
