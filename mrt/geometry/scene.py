@@ -26,6 +26,14 @@ from flax import struct
 from . import spheres as sphere_mod
 from .hit import Hits
 
+# Auto-enable lane-compacted background eval on TPU (bit-exact; the
+# only question is speed — tools/probe_eve_r05.py decides).
+BG_COMPACT_AUTO = False
+
+
+def _bg_compact_on():
+    return BG_COMPACT_AUTO and sphere_mod._use_pallas()
+
 T_MIN = 1e-3  # reference: world.rs:68 — intersect(ray, 0.001, inf)
 
 
@@ -322,6 +330,40 @@ class Scene:
 
     def background_eval(self, d):
         return self.background.eval(d, atlas=self.atlas)
+
+    def background_eval_masked(self, d, mask):
+        """where(mask, background_eval(d), 0) — compacting the eval to
+        the masked (miss) lanes when the background is texel-backed.
+
+        The envmap eval's qdata gather costs ~17 ns per OUTPUT row
+        (serial lowering) for every lane even though only miss lanes
+        use the value — 2.42 ms of eve's 8.86 ms step
+        (artifacts/eve_step_r04.json).  ops/compact packs the miss
+        lanes through bit-exact one-hot matmuls so the gather runs on
+        K rows; the transient all-camera-ray steps (count > K) fall
+        back to the full-width eval inside the same program."""
+        import os
+
+        from ..materials.background import CubeMap, SkySphere
+
+        texel_backed = isinstance(self.background, (CubeMap, SkySphere))
+        flag = os.environ.get("MRT_BG_COMPACT")
+        use = texel_backed and flag != "0" and (
+            flag == "1" or _bg_compact_on())
+        if not use:
+            return jnp.where(mask[:, None],
+                             self.background_eval(d), 0.0)
+        from ..ops import compact
+
+        P = d.shape[0]
+        K = max(2048, P // 4)
+        K = -(-K // compact.L_DEFAULT) * compact.L_DEFAULT
+        if K >= P:
+            return jnp.where(mask[:, None],
+                             self.background_eval(d), 0.0)
+        return compact.compact_apply(
+            lambda dc: self.background.eval(dc, atlas=self.atlas),
+            mask, d, K, pad_row=jnp.asarray([1.0, 0.0, 0.0]))
 
 
 def with_atlas(scene: Scene, atlas) -> Scene:

@@ -254,10 +254,12 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         sc_sampler = Sampler(seed, ray_id, salt=3 * b + 1)
         emitted, atten, new_dir, scattered, lobe = shade.shade_hit(
             scene, hits, d, em_sampler, sc_sampler)
-        background = scene.background_eval(d)
 
         hit = hits.hit & active
         miss = ~hits.hit & active
+        # Pre-masked (and, on TPU, miss-lane-compacted) background:
+        # zeros on non-miss lanes, bit-exact either way.
+        background = scene.background_eval_masked(d, miss)
 
         if scene.lights is not None:
             # NEE+MIS emission weighting (see wavefront._bounce).
@@ -273,7 +275,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
             emitted = emitted * jnp.where(is_light & (prev_pdf > 0.0),
                                           w_b, 1.0)[:, None]
 
-        radiance_add = (jnp.where(miss[:, None], background, 0.0)
+        radiance_add = (background
                         + jnp.where(hit[:, None], emitted, 0.0))
         radiance_add = jnp.where(active[:, None],
                                  throughput * radiance_add, 0.0)

@@ -102,7 +102,14 @@ class CubeMap:
                    faces_raw=faces_raw)
 
     def eval(self, directions, atlas=None):
-        p = jnp.einsum("ij,...j->...i", self.transform[:3, :3], directions)
+        # Explicit broadcast dot: an einsum here lowers to a dot_general
+        # that XLA treats as a fusion boundary in the middle of the
+        # bounce loop (the sphere nearest_t lesson, BASELINE r2);
+        # three fused multiply-adds are bit-identical (same
+        # left-to-right contraction order) and free.
+        R = self.transform[:3, :3]
+        p = (directions[..., 0:1] * R[:, 0] + directions[..., 1:2] * R[:, 1]
+             + directions[..., 2:3] * R[:, 2])
         ax, ay, az = jnp.abs(p[..., 0]), jnp.abs(p[..., 1]), jnp.abs(p[..., 2])
         px, py, pz = p[..., 0], p[..., 1], p[..., 2]
 

@@ -1,0 +1,75 @@
+"""Bit-exactness of masked lane compaction (ops/compact) and the
+compacted background eval."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mrt.ops import compact
+
+
+def test_compact_roundtrip_bit_exact():
+    rng = np.random.default_rng(11)
+    P, K = 2048, 512
+    x = (rng.standard_normal((P, 5)) * 10.0 ** rng.integers(
+        -20, 20, (P, 5))).astype(np.float32)
+    mask = rng.random(P) < 0.2          # ~410 < K
+    xc, pos, count = compact.compact_rows(
+        jnp.asarray(mask), jnp.asarray(x), K)
+    assert int(count) == mask.sum()
+    # Compacted rows == masked rows, bit for bit.
+    np.testing.assert_array_equal(np.asarray(xc)[:int(count)],
+                                  x[mask])
+    out = compact.expand_rows(xc, pos, jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(out)[mask], x[mask])
+    assert (np.asarray(out)[~mask] == 0.0).all()
+
+
+@pytest.mark.parametrize("frac", [0.1, 0.9])
+def test_compact_apply_matches_full(frac):
+    # frac 0.9 overflows K -> exercises the fallback branch.
+    rng = np.random.default_rng(3)
+    P, K = 1024, 256
+    x = rng.standard_normal((P, 3)).astype(np.float32)
+    mask = jnp.asarray(rng.random(P) < frac)
+    fn = lambda v: jnp.stack([v[:, 0] * v[:, 1] + 3.0,
+                              jnp.sin(v[:, 2])], axis=-1)
+    out = compact.compact_apply(fn, mask, jnp.asarray(x), K,
+                                pad_row=jnp.asarray([1.0, 0.0, 0.0]))
+    ref = jnp.where(mask[:, None], fn(jnp.asarray(x)), 0.0)
+    # Compaction is bit-exact (test_compact_roundtrip_bit_exact), but
+    # XLA may contract fn's mul+add into FMA differently inside the
+    # cond's fusion context — allow 1-ulp there.  The production
+    # guarantee is the render-level bit-identity test below.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bg_compact_render_bit_identical():
+    # Eve's cubemap background through the compacted path must produce
+    # the exact same film as the full-width eval.
+    from mrt.scenes import get
+    from mrt.integrator.persistent import render_samples_chunked
+
+    scene, camera = get("eve")(aspect_ratio=1.0).generate()
+    kw = dict(width=48, height=48, seed=5, sample_start=0, samples=2,
+              max_depth=6, pool=4096)
+    old = os.environ.get("MRT_BG_COMPACT")
+    try:
+        os.environ["MRT_BG_COMPACT"] = "0"
+        jax.clear_caches()   # the flag is read at trace time
+        f0, d0 = render_samples_chunked(scene, camera, **kw)
+        os.environ["MRT_BG_COMPACT"] = "1"
+        jax.clear_caches()
+        f1, d1 = render_samples_chunked(scene, camera, **kw)
+    finally:
+        if old is None:
+            os.environ.pop("MRT_BG_COMPACT", None)
+        else:
+            os.environ["MRT_BG_COMPACT"] = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
