@@ -319,15 +319,27 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         contrib = jnp.concatenate(
             [radiance_add, scat.astype(jnp.float32)[:, None]], axis=-1)
         if film_mm:
-            # Windowed one-hot MXU deposit (ops/film_deposit): claims
-            # are gated below so every live q sits in
-            # [min_live, min_live + film_mm).  Replaces the serial
-            # per-row scatter (permutation-ulp f32 reassociation only).
+            # Windowed one-hot MXU deposit (ops/film_deposit), window
+            # riding the CLAIM FRONTIER: lanes claimed within the last
+            # W pixels (the dense mass — claims are pixel-major)
+            # deposit via the matmul; older "straggler" lanes (the
+            # deep-path tail) accumulate per-lane into `acc` and flush
+            # once at death below.  No claim gating: gating claims to
+            # a min_live window starved the pool to 20-40% on hardware
+            # (artifacts/film_mm_r05.json, v1).  Replaces the serial
+            # per-row scatter; f32 add-reassociation only, and
+            # non-finite contributions are dropped by the deposit.
             from ..ops import film_deposit
 
-            min_live = jnp.min(jnp.where(active, q, _BIG))
-            dest = film_deposit.deposit_matmul(dest, q, contrib,
-                                               min_live, film_mm)
+            claimed_q = (jnp.maximum(next_work, 1) - 1) // samples
+            base = jnp.maximum(jnp.int32(0),
+                               claimed_q - jnp.int32(film_mm - 1))
+            strag = active & (q < base)
+            contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+            dest = film_deposit.deposit_matmul(
+                dest, q, jnp.where(strag[:, None], 0.0, contrib),
+                base, film_mm)
+            acc = rest[0] + jnp.where(strag[:, None], contrib, 0.0)
         elif pend:
             # Per-lane pending accumulator + predicated deposit kernel:
             # only dying lanes touch dest (~pool/avg_depth rows) instead
@@ -350,22 +362,18 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         # pixel runs SLOTS ahead of the flush frontier (slot-reuse
         # safety; a gated lane idles and re-claims next step).
         dead = active & ~cont
+        if film_mm:
+            # Dying stragglers release their pending accumulator:
+            # compacted K-row scatter (full-width fallback on
+            # overflow), before the lane re-claims.
+            dest, acc = film_deposit.flush_stragglers(
+                dest, slot, acc, strag & dead)
         idle = ~active
         claim = dead | idle
         offsets = jnp.cumsum(claim.astype(jnp.int32)) - 1
         new_item = next_work + offsets
         if big_mode:
             limit = jnp.minimum(total, (flushed_q + slots_eff) * samples)
-            if film_mm:
-                # Deposit-window safety: a new claim's pixel must stay
-                # inside [min_live, min_live + W) at every FUTURE
-                # deposit; min_live is monotone, so gating on the
-                # current one suffices.  (Clamp before the multiply:
-                # min_live is 2^30 when no lane is live.)
-                win_lim = (jnp.minimum(min_live, jnp.int32(npix))
-                           + jnp.int32(film_mm))
-                limit = jnp.minimum(limit, win_lim
-                                    * jnp.asarray(samples, jnp.int32))
         else:
             limit = total
         takes = claim & (new_item < limit)
@@ -391,7 +399,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
         out = (item, bounce, o, d, throughput, ray_id, next_work,
                dest, flushed_q, prev_pdf)
-        if pend:
+        if pend or film_mm:
             out = out + (acc,)
         return out
 
@@ -526,14 +534,14 @@ def render_samples_persistent(scene, camera, width, height, seed,
     if big_mode:
         dest = jnp.zeros((slots_eff, 4), jnp.float32)
         work_film = film
-        init_win = min(slots_eff, film_mm) if film_mm else slots_eff
-        init_limit = jnp.int32(init_win) * jnp.asarray(samples, jnp.int32)
+        init_limit = jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
     else:
         dest = jnp.zeros((npix_pad, 4), jnp.float32)
         work_film = film  # untouched until the final add
         init_limit = _BIG
     state = _init_state(make_rays, pool, dest, vzero_f, vzero_i,
-                        init_limit, neutral, pending=bool(pend))
+                        init_limit, neutral,
+                        pending=bool(pend) or bool(film_mm and big_mode))
 
     def cond(carry):
         state, film = carry
@@ -570,12 +578,12 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
     dest = jnp.zeros((slots_eff if big_mode else npix_pad, 4),
                      jnp.float32)
     film = _pack_film(film_sum, depth_sum, npix_pad)
-    init_win = (min(slots_eff, film_mm) if film_mm and big_mode
-                else slots_eff)
-    init_limit = (jnp.int32(init_win) * jnp.asarray(samples, jnp.int32)
+    init_limit = (jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
                   if big_mode else _BIG)
+    big_mm = film_mm and big_mode
     return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
-                        init_limit, neutral, pending=bool(pend)), film)
+                        init_limit, neutral,
+                        pending=bool(pend) or bool(big_mm)), film)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",

@@ -9,9 +9,15 @@ RTIOW headline — the rest of the step is MXU/VPU work that gets
 ~2.2-2.7x cheaper per the roofline.
 
 This module replaces the scatter with dense MXU work.  Work items are
-claimed pixel-major, so live pixels span a narrow moving window
-[min_live, min_live + W); the integrator gates claims to that window
-(persistent.py), and the deposit becomes
+claimed pixel-major, so MOST live pixels sit within W pixels of the
+claim frontier; the deposit window rides that frontier
+(base = claimed_q - W + 1).  Lanes older than the window — the
+deep-path tail — accumulate per-lane and release once at death via
+`flush_stragglers` (compacted K-row scatter).  v1 instead gated
+claims to a [min_live, min_live+W) window: measured 20-40% pool
+utilisation on hardware (artifacts/film_mm_r05.json) because RTIOW's
+dielectric tail pins min_live ~2M work items behind the frontier.
+The windowed deposit is
 
     win[j] = sum_p onehot(q[p] - min_live == j) * contrib[p]
     dest  += roll(pad(win), min_live mod slots)     # ring alignment
@@ -123,3 +129,46 @@ def deposit_matmul(dest, q, contrib, base, W, L=None):
         pad = jnp.zeros((slots, C), jnp.float32).at[:W].set(win)
     shift = base & (slots - 1)
     return dest + jnp.roll(pad, shift, axis=0)
+
+
+# Straggler-flush compaction width: lanes older than the deposit
+# window accumulate per-lane and flush once at path death; deaths of
+# such old lanes are rare (the deep-path tail), so a small compacted
+# scatter absorbs them.  Overflow falls back to a full-width scatter
+# inside the same program (lax.cond).
+FLUSH_K = int(os.environ.get("MRT_FILM_MM_K", "8192"))
+
+
+def flush_stragglers(dest, slot, acc, mask, K=None):
+    """dest[slot[p]] += acc[p] for masked lanes; returns (dest, acc)
+    with flushed rows zeroed.
+
+    The masked rows are compacted (bit-exact one-hot matmuls,
+    ops/compact) and scattered with a K-row serial scatter (~17 ns/row
+    — cheap at K=8192 vs the pool-row scatter this mode replaces).
+    count > K falls back to the full-width scatter."""
+    from .compact import compact_rows
+
+    K = K or FLUSH_K
+    P, C = acc.shape
+    vals = jnp.concatenate(
+        [acc, slot.astype(jnp.float32)[:, None]], axis=-1)
+    yc, pos, count = compact_rows(
+        mask, vals, K,
+        pad_row=jnp.asarray([0.0] * C + [-1.0], jnp.float32))
+
+    def compact_branch(args):
+        dest, yc, slot, acc, mask = args
+        rows = jnp.round(yc[:, C]).astype(jnp.int32)
+        # pad rows carry slot -1 -> dropped by the scatter (jit
+        # FILL_OR_DROP), values are zero anyway.
+        return dest.at[rows].add(yc[:, :C])
+
+    def full_branch(args):
+        dest, yc, slot, acc, mask = args
+        return dest.at[jnp.where(mask, slot, -1)].add(
+            jnp.where(mask[:, None], acc, 0.0))
+
+    dest = jax.lax.cond(count <= K, compact_branch, full_branch,
+                        (dest, yc, slot, acc, mask))
+    return dest, jnp.where(mask[:, None], 0.0, acc)
