@@ -165,33 +165,36 @@ def _sah_partition(prim, centroids, bounds_min, bounds_max):
     return best
 
 
-def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
+def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE,
+          split=None):
     """Build a flattened BVH over primitives on host.
 
     Args:
       centroids: (T,3) primitive centroids.
       bounds_min/bounds_max: (T,3) primitive AABBs.
+      split: "median" (default) or "sah" (binned SAH — fewer node
+        visits on irregularly-distributed geometry; lucy +9% with
+        bit-identical means, artifacts/bvh_sah_r04.json).  The env
+        MRT_BVH overrides the caller's choice either way.
     Returns:
       (FlatBVH arrays as numpy, order) where `order` is the permutation
       to apply to primitive arrays so leaves are contiguous.
-
-    MRT_BVH=sah switches the split rule from deterministic
-    widest-axis median to binned SAH (Python path only — the native
-    builder implements median semantics).
     """
     import os as _os
-    sah = _os.environ.get("MRT_BVH", "median") == "sah"
+    env = _os.environ.get("MRT_BVH")
+    sah = (env or split or "median") == "sah"
     t = centroids.shape[0]
     centroids = np.asarray(centroids, np.float64)
     bounds_min = np.asarray(bounds_min, np.float64)
     bounds_max = np.asarray(bounds_max, np.float64)
 
     # The C++ builder implements these exact semantics ~100x faster
-    # (bit-identical output); this Python body is the fallback + spec.
+    # (bit-identical output, both split rules — tests/test_bvh.py);
+    # this Python body is the fallback + spec.
     from .. import native
-    if t > 1024 and not sah:
+    if t > 1024:
         result = native.bvh_build(centroids, bounds_min, bounds_max,
-                                  leaf_size)
+                                  leaf_size, split_mode=int(sah))
         if result is not None:
             return result
 
@@ -258,7 +261,8 @@ def build(centroids, bounds_min, bounds_max, leaf_size=LEAF_SIZE):
     return (bmin, bmax, first, count, escape), order
 
 
-def build_over_triangles(tris: Triangles, leaf_size=LEAF_SIZE):
+def build_over_triangles(tris: Triangles, leaf_size=LEAF_SIZE,
+                         split=None):
     """Build a BVH over a Triangles set; returns (FlatBVH, reordered
     Triangles)."""
     va = np.asarray(tris.va)
@@ -268,7 +272,7 @@ def build_over_triangles(tris: Triangles, leaf_size=LEAF_SIZE):
     bmax = np.maximum(np.maximum(va, vb), vc)
     cent = (va + vb + vc) / 3.0
     (nb_min, nb_max, first, count, escape), order = build(
-        cent, bmin, bmax, leaf_size)
+        cent, bmin, bmax, leaf_size, split=split)
 
     # Host-side reorder + host FlatBVH: mesh builds stay NumPy until the
     # registry/scene build converts once (see Triangles.from_soup).

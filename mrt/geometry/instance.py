@@ -110,8 +110,10 @@ class MeshRegistry:
         self._meshes = []       # list[(FlatBVH-np, Triangles)]
         self._instances = []    # list[dict]
 
-    def add_mesh(self, tris: Triangles, leaf_size=LEAF_SIZE) -> int:
-        bvh, reordered = bvh_mod.build_over_triangles(tris, leaf_size)
+    def add_mesh(self, tris: Triangles, leaf_size=LEAF_SIZE,
+                 split=None) -> int:
+        bvh, reordered = bvh_mod.build_over_triangles(tris, leaf_size,
+                                                      split=split)
         self._meshes.append((bvh, reordered))
         return len(self._meshes) - 1
 

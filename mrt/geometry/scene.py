@@ -419,10 +419,12 @@ class SceneBuilder:
         self._sphere_rows.append((tuple(center), float(radius),
                                   int(material)))
 
-    def add_mesh(self, tris):
+    def add_mesh(self, tris, split=None):
         """Register a mesh for instancing; returns mesh id
-        (the reference's Model::new, geom.rs:281-292)."""
-        return self._ensure_registry().add_mesh(tris)
+        (the reference's Model::new, geom.rs:281-292).  split="sah"
+        opts this mesh into the binned-SAH builder (per-scene rule:
+        irregular high-poly meshes; see geometry/bvh.py::build)."""
+        return self._ensure_registry().add_mesh(tris, split=split)
 
     def add_instance(self, mesh_id, translation=(0, 0, 0),
                      rotation=(0, 0, 0), scale=(1, 1, 1), material=None):

@@ -58,7 +58,7 @@ def load():
         lib.mrt_bvh_build.restype = ctypes.c_int32
         lib.mrt_bvh_build.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
@@ -71,9 +71,11 @@ def load():
     return _LIB
 
 
-def bvh_build(centroids, bounds_min, bounds_max, leaf_size):
-    """Native mirror of geometry.bvh.build; returns the same tuple or
-    None when the native library is unavailable."""
+def bvh_build(centroids, bounds_min, bounds_max, leaf_size,
+              split_mode=0):
+    """Native mirror of geometry.bvh.build (split_mode 0 = median,
+    1 = binned SAH); returns the same tuple or None when the native
+    library is unavailable."""
     import numpy as np
 
     lib = load()
@@ -92,7 +94,7 @@ def bvh_build(centroids, bounds_min, bounds_max, leaf_size):
     order = np.empty(n, np.int64)
     m = lib.mrt_bvh_build(
         cent.ctypes.data, bmin.ctypes.data, bmax.ctypes.data,
-        n, leaf_size,
+        n, leaf_size, split_mode,
         node_bmin.ctypes.data, node_bmax.ctypes.data,
         first.ctypes.data, count.ctypes.data, escape.ctypes.data,
         order.ctypes.data)

@@ -19,11 +19,11 @@ def _prims(rng, n):
     return cent, cent - half, cent + half
 
 
-def _python_build(cent, bmin, bmax, leaf_size=4):
+def _python_build(cent, bmin, bmax, leaf_size=4, split=None):
     import os
     os.environ["MRT_NO_NATIVE"] = "1"
     try:
-        return B.build(cent, bmin, bmax, leaf_size)
+        return B.build(cent, bmin, bmax, leaf_size, split=split)
     finally:
         del os.environ["MRT_NO_NATIVE"]
 
@@ -40,6 +40,41 @@ class TestNativeBVH:
         np.testing.assert_array_equal(order, porder)
         np.testing.assert_array_equal(first, pfirst)
         np.testing.assert_array_equal(count, pcount)
+        np.testing.assert_array_equal(escape, pescape)
+        np.testing.assert_array_equal(nb_min, pb_min)
+        np.testing.assert_array_equal(nb_max, pb_max)
+
+    @pytest.mark.parametrize("n", [5, 100, 5000])
+    def test_sah_bit_identical_to_python(self, rng, n):
+        # The C++ binned-SAH port vs the Python spec
+        # (bvh.py::_sah_partition) — exact node arrays and order.
+        cent, bmin, bmax = _prims(rng, n)
+        native_out = native.bvh_build(cent, bmin, bmax, 4, split_mode=1)
+        assert native_out is not None
+        (nb_min, nb_max, first, count, escape), order = native_out
+        (pb_min, pb_max, pfirst, pcount, pescape), porder = _python_build(
+            cent, bmin, bmax, split="sah")
+        np.testing.assert_array_equal(order, porder)
+        np.testing.assert_array_equal(first, pfirst)
+        np.testing.assert_array_equal(count, pcount)
+        np.testing.assert_array_equal(escape, pescape)
+        np.testing.assert_array_equal(nb_min, pb_min)
+        np.testing.assert_array_equal(nb_max, pb_max)
+
+    def test_sah_clustered_bit_identical(self, rng):
+        # Clustered + duplicated centroids exercise the degenerate
+        # (median-fallback) branch inside SAH recursion.
+        k = rng.uniform(-20, 20, (6, 3))
+        cent = np.repeat(k, 40, axis=0) + rng.normal(
+            0, 0.01, (240, 3))
+        cent[:30] = cent[0]                      # exact duplicates
+        half = rng.uniform(0.01, 0.2, (240, 3))
+        native_out = native.bvh_build(cent, cent - half, cent + half,
+                                      4, split_mode=1)
+        (nb_min, nb_max, first, count, escape), order = native_out
+        (pb_min, pb_max, pfirst, pcount, pescape), porder = _python_build(
+            cent, cent - half, cent + half, split="sah")
+        np.testing.assert_array_equal(order, porder)
         np.testing.assert_array_equal(escape, pescape)
         np.testing.assert_array_equal(nb_min, pb_min)
         np.testing.assert_array_equal(nb_max, pb_max)
