@@ -1,0 +1,111 @@
+"""Reproduce + localise the eve NaN pixel (CLAUDE "Known issues").
+
+Observed once on TPU: render(eve, 960x540, spp=16, d32, seed=1,
+persistent=True) -> exactly one NaN pixel, index 135890 = (530, 141).
+The CPU replay of the SAME RNG streams (single-pixel persistent
+render, 512 samples) is NaN-free, so the suspicion is TPU-specific
+numerics, not the reference-faithful-quirk hypothesis.
+
+Stages (one process):
+  1. single-pixel spp16 d32 render on the device -> NaN?
+  2. per-sample bisect (same compiled program; samples/sample_start
+     are traced).
+  3. host-stepped bounce replay of the guilty sample dumping each
+     bounce's state; prints the first non-finite field.
+
+    python tools/probe_nan_pixel.py [pixel] [spp]
+"""
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np
+
+PIXEL = int(sys.argv[1]) if len(sys.argv) > 1 else 135890
+SPP = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+W, H, DEPTH, SEED = 960, 540, 32, 1
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mrt.scenes import get
+    from mrt.integrator.persistent import render_samples_persistent
+    from mrt.integrator import wavefront
+    from mrt.math.rng import Sampler
+
+    scene, camera = get("eve")(aspect_ratio=W / H).generate()
+
+    @jax.jit
+    def one(start, n):
+        return render_samples_persistent(
+            scene, camera, W, H, SEED, start, n, max_depth=DEPTH,
+            pool=1024, pixel_offset=PIXEL, n_pixels=1)
+
+    f, d = one(0, SPP)
+    f = np.asarray(f)
+    print(f"pixel {PIXEL} spp{SPP}: {f} nan={np.isnan(f).any()}",
+          flush=True)
+
+    bad = []
+    for s in range(SPP):
+        fs, _ = one(s, 1)
+        if np.isnan(np.asarray(fs)).any():
+            bad.append(s)
+            print(f"  sample {s}: NaN {np.asarray(fs)}", flush=True)
+    print("bad samples:", bad, flush=True)
+    if not bad and not np.isnan(f).any():
+        # Stage 0 fallback: the production full-frame render (auto
+        # sort cadence etc.) that showed the NaN originally.
+        print("single-pixel clean; rendering the full frame...",
+              flush=True)
+        from mrt.runtime.render import render
+
+        film = render(scene, camera, W, H, spp=SPP, max_depth=DEPTH,
+                      seed=SEED, persistent=True)
+        sarr = np.asarray(film.sum)
+        nans = np.argwhere(~np.isfinite(sarr.sum(-1)))
+        print(f"full-frame nonfinite pixels: "
+              f"{[int(y) * W + int(x) for y, x in nans[:16]]}",
+              flush=True)
+        return
+
+    # Stage 3: bounce replay of the first bad sample on an N-lane
+    # batch of identical rays (the packet kernels want wide batches).
+    s = bad[0] if bad else 0
+    N = 1024
+    pixel = jnp.full((N,), PIXEL, jnp.uint32)
+    sample = jnp.full((N,), s, jnp.uint32)
+    cam = Sampler(SEED, pixel + jnp.uint32(0x9E3779B9) * sample,
+                  salt=0xC0FFEE)
+    jx, jy, du, dv = cam.next4()
+    px = (pixel % W).astype(jnp.float32)
+    py = (pixel // W).astype(jnp.float32)
+    o, d = camera.rays((px + jx) / W, (py + jy) / H, du, dv)
+    ray_id = pixel ^ (sample * jnp.uint32(0x85EBCA6B))
+
+    state = (o, d, jnp.ones_like(o), jnp.zeros_like(o),
+             jnp.ones((N,), bool), jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N,), jnp.float32))
+    step = jax.jit(lambda b, st: wavefront._bounce(
+        scene, ray_id, SEED, b, st))
+    names = ["o", "d", "throughput", "radiance", "alive", "bounces",
+             "prev_pdf"]
+    for b in range(DEPTH):
+        state = step(jnp.int32(b), state)
+        row = {k: np.asarray(v)[0] for k, v in zip(names, state)}
+        flags = [k for k in ("o", "d", "throughput", "radiance",
+                             "prev_pdf")
+                 if not np.isfinite(row[k]).all()]
+        print(f"bounce {b:2d} alive={row['alive']} o={row['o']} "
+              f"d={row['d']} tp={row['throughput']} "
+              f"rad={row['radiance']}"
+              + (f"  NONFINITE: {flags}" if flags else ""), flush=True)
+        if flags or not row["alive"]:
+            break
+
+
+if __name__ == "__main__":
+    main()
