@@ -39,12 +39,30 @@ def _use_matmul(nrows):
 
 
 def _split3(table):
-    """f32 table -> three bf16 terms whose f32 sum is bit-exact."""
-    hi = table.astype(jnp.bfloat16)
-    r1 = table - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+    """f32 table -> three bf16 terms whose f32 sum ((hi+mid)+lo) is
+    bit-exact for normal f32 (subnormals flush to 0 — irrelevant for
+    every table/contribution domain here).
+
+    Implemented with INTEGER bit masking, not arithmetic rounding: the
+    classic Dekker-style `x - bf16(x)` split is algebraically
+    simplified by XLA:TPU's excess-precision folding inside jit —
+    measured r5: mid/lo collapse to ~3.8e-3 relative error, and
+    slot-id reconstruction in ops/film_deposit came out off-by-one
+    (dropped depth counts on hardware, artifacts/film_mm_r05.json).
+    Masking `(bits + 0x8000) & 0xFFFF0000` rounds to the nearest
+    bf16-representable f32 in a form XLA cannot fold; the final bf16
+    converts are then exact by construction."""
+    def near_bf16(x):
+        b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        hb = (b + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
+        return jax.lax.bitcast_convert_type(hb, jnp.float32)
+
+    hi = near_bf16(table)
+    r1 = table - hi
+    mid = near_bf16(r1)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
 
 
 def take_rows(table, rows):

@@ -1,5 +1,6 @@
 """Gradient correctness: jax.grad through the bounce loop vs finite
-differences, plus an end-to-end inverse-rendering optimization."""
+differences (albedo, emission, texture texels, metal fuzz, geometry),
+plus end-to-end inverse-rendering optimizations."""
 
 import numpy as np
 import jax
@@ -7,10 +8,11 @@ import jax.numpy as jnp
 import pytest
 
 from mrt.core.camera import Camera
-from mrt.geometry.scene import Scene
+from mrt.geometry.scene import Scene, with_atlas
 from mrt.geometry.spheres import Spheres
 from mrt.materials.table import MaterialBuilder
 from mrt.materials.background import SolidBackground, SkyBackground
+from mrt.textures.atlas import AtlasBuilder
 from mrt import inverse
 
 
@@ -34,6 +36,38 @@ def _scene_with_albedo(albedo):
 def _camera():
     return Camera.create(60.0, (0, 0, 0), (0, 0, -1), (0, 1, 0),
                          aspect_ratio=1.0)
+
+
+def textured_scene_factory(size=4):
+    """apply(texels (size,size,4)) -> Scene with one textured diffuse
+    sphere.  The texel array is the free parameter: data AND the
+    quad-packed qdata are rebuilt in-graph so gradients flow through
+    the single-gather bilinear path (textures/atlas.py)."""
+    b = MaterialBuilder()
+    ground = b.lambertian((0.5, 0.5, 0.5))
+    ab = AtlasBuilder()
+    tid = ab.add_raw(np.ones((size, size, 4), np.float32))
+    textured = b.lambertian((1.0, 1.0, 1.0), tex=tid)
+    table = b.build()
+    scene0 = with_atlas(Scene(
+        materials=table,
+        background=SkyBackground.create(),
+        spheres=Spheres(
+            center=jnp.asarray([[0.0, -100.5, -2.0], [0.0, 0.0, -2.0]]),
+            radius=jnp.asarray([100.0, 0.5]),
+            material=jnp.asarray([ground, textured], jnp.int32))),
+        ab.build())
+    nxt = np.minimum(np.arange(size) + 1, size - 1)
+
+    def apply(texels):
+        img = jnp.asarray(texels)
+        q = jnp.concatenate(
+            [img, img[:, nxt], img[nxt], img[nxt][:, nxt]],
+            axis=-1).reshape(-1, 16)
+        atlas = scene0.atlas.replace(data=img.reshape(-1, 4), qdata=q)
+        return scene0.replace(atlas=atlas)
+
+    return apply
 
 
 class TestFiniteDifferences:
@@ -84,6 +118,64 @@ class TestFiniteDifferences:
               - loss(scale.at[0].add(-eps))) / (2 * eps)
         # Emission enters linearly: gradient should match FD tightly.
         assert np.isclose(float(g[0]), float(fd), rtol=1e-2, atol=1e-5)
+
+    def test_texture_texel_gradient_matches_fd(self):
+        # BASELINE metric: "albedo/roughness/TEXTURE optimization" —
+        # gradients w.r.t. individual texel values through the
+        # bilinear sample + bounce loop.
+        apply = textured_scene_factory(size=4)
+
+        def loss(texels):
+            img = inverse.render_image(apply(texels), _camera(), 8, 8,
+                                       spp=4, seed=7, max_depth=4)
+            return jnp.mean(img)
+
+        texels = jnp.asarray(
+            np.random.default_rng(0).uniform(
+                0.2, 0.8, (4, 4, 4)).astype(np.float32))
+        g = np.asarray(jax.grad(loss)(texels))
+        assert np.isfinite(g).all()
+        assert (np.abs(g) > 0).any(), "texel gradients all zero"
+        eps = 1e-2
+        # Check the highest-|g| texel channels against central FD.
+        flat = np.argsort(-np.abs(g).ravel())[:3]
+        for f in flat:
+            i = np.unravel_index(f, g.shape)
+            tp = texels.at[i].add(eps)
+            tm = texels.at[i].add(-eps)
+            fd = (loss(tp) - loss(tm)) / (2 * eps)
+            assert np.isclose(g[i], float(fd), rtol=5e-2, atol=1e-5), \
+                f"texel {i}: {g[i]} vs {fd}"
+
+    def test_metal_fuzz_gradient_matches_fd(self):
+        # Fuzz (the reference's Metal roughness knob,
+        # material.rs:261-284) perturbs the reflected direction
+        # smoothly; its gradient must match FD.
+        def loss(fuzz):
+            b = MaterialBuilder()
+            ground = b.lambertian((0.5, 0.5, 0.5))
+            metal = b.metal(fuzz=0.0, albedo=(0.9, 0.9, 0.9))
+            table = b.build()
+            table = table.replace(fuzz=table.fuzz.at[metal].set(fuzz))
+            scene = Scene(
+                materials=table,
+                background=SkyBackground.create(),
+                spheres=Spheres(
+                    center=jnp.asarray([[0.0, -100.5, -2.0],
+                                        [0.0, 0.0, -2.0]]),
+                    radius=jnp.asarray([100.0, 0.5]),
+                    material=jnp.asarray([ground, metal], jnp.int32)))
+            img = inverse.render_image(scene, _camera(), 8, 8, spp=4,
+                                       seed=5, max_depth=4)
+            return jnp.mean(img)
+
+        fuzz = jnp.asarray(0.3)
+        g = jax.grad(loss)(fuzz)
+        assert np.isfinite(float(g))
+        eps = 5e-3
+        fd = (loss(fuzz + eps) - loss(fuzz - eps)) / (2 * eps)
+        assert np.isclose(float(g), float(fd), rtol=5e-2, atol=1e-4), \
+            f"{g} vs {fd}"
 
     def test_sphere_center_gradient_finite(self):
         # Geometry gradients (hit point/normal w.r.t. center) are noisy
