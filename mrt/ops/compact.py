@@ -59,22 +59,41 @@ def compact_rows(mask, x, K, L=L_DEFAULT, pad_row=None):
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     count = jnp.sum(mask.astype(jnp.int32))
 
-    idx = jnp.clip(pos, 0, K - 1)
-    lo = idx & (L - 1)
-    hi = idx >> (L.bit_length() - 1)
-    oh_lo = ((lo[:, None] == jnp.arange(L, dtype=lo.dtype)[None, :])
-             & mask[:, None]).astype(jnp.bfloat16)       # (P, L)
-    oh_hi = (hi[:, None] == jnp.arange(K // L, dtype=hi.dtype)[None, :]
-             ).astype(jnp.bfloat16)                      # (P, K/L)
-
     xz = jnp.where(mask[:, None], x, 0.0)
     h, m, l = _split3(xz)
     parts = jnp.concatenate([h, m, l], axis=-1)          # (P, 3C) bf16
-    a = (oh_lo[:, :, None] * parts[:, None, :]).reshape(P, L * 3 * C)
-    xc = jax.lax.dot_general(
-        oh_hi, a, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (K/L, L*3C)
-    xc = xc.reshape(K, 3 * C)
+
+    import os
+
+    from . import pallas_onehot
+
+    mode_ = os.environ.get("MRT_ONEHOT")
+    use_pallas = (L == pallas_onehot.L
+                  and pallas_onehot.usable(P, K, 3 * C)
+                  and mode_ != "xla"
+                  and (mode_ in ("pallas", "interpret")
+                       or pallas_onehot.on_tpu()))
+    if use_pallas:
+        # idx = -1 on unmasked lanes: the kernel skips them (their
+        # parts are zeroed above, so even a NaN input cannot leak).
+        xc = pallas_onehot.onehot_deposit(
+            jnp.where(mask, pos, -1), parts, K,
+            interpret=(mode_ == "interpret"))
+    else:
+        idx = jnp.clip(pos, 0, K - 1)
+        lo = idx & (L - 1)
+        hi = idx >> (L.bit_length() - 1)
+        oh_lo = ((lo[:, None] == jnp.arange(L, dtype=lo.dtype)[None, :])
+                 & mask[:, None]).astype(jnp.bfloat16)   # (P, L)
+        oh_hi = (hi[:, None]
+                 == jnp.arange(K // L, dtype=hi.dtype)[None, :]
+                 ).astype(jnp.bfloat16)                  # (P, K/L)
+        a = (oh_lo[:, :, None] * parts[:, None, :]).reshape(
+            P, L * 3 * C)
+        xc = jax.lax.dot_general(
+            oh_hi, a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (K/L, L*3C)
+        xc = xc.reshape(K, 3 * C)
     xc = xc[:, :C] + xc[:, C:2 * C] + xc[:, 2 * C:]
     if pad_row is None:
         pad_row = jnp.zeros((C,), jnp.float32)

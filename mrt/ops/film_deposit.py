@@ -101,26 +101,41 @@ def deposit_matmul(dest, q, contrib, base, W, L=None):
     assert W % L == 0 and W <= slots, (W, L, slots)
     wh = W // L
 
-    idx = jnp.clip(q - base, 0, W - 1)
-    lo = idx & (L - 1)
-    hi = idx >> (L.bit_length() - 1)
-
     h, m, l = _split3(contrib)
     parts = jnp.concatenate([h, m, l], axis=-1)          # (P, 3C) bf16
 
-    oh_lo = (lo[:, None] == jnp.arange(L, dtype=lo.dtype)[None, :]
-             ).astype(jnp.bfloat16)                      # (P, L)
-    oh_hi = (hi[:, None] == jnp.arange(wh, dtype=hi.dtype)[None, :]
-             ).astype(jnp.bfloat16)                      # (P, wh)
+    from . import pallas_onehot
 
-    # A[p, l*3C + c] = oh_lo[p, l] * parts[p, c] — the ⊗ operand XLA
-    # fuses into the dot's rhs load.
-    a = (oh_lo[:, :, None] * parts[:, None, :]).reshape(
-        parts.shape[0], L * 3 * C)
-    win = jax.lax.dot_general(
-        oh_hi, a, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (wh, L*3C)
-    win = win.reshape(W, 3 * C)
+    P = contrib.shape[0]
+    mode_ = os.environ.get("MRT_ONEHOT")
+    use_pallas = (L == pallas_onehot.L
+                  and pallas_onehot.usable(P, W, 3 * C)
+                  and mode_ != "xla"
+                  and (mode_ in ("pallas", "interpret")
+                       or pallas_onehot.on_tpu()))
+    if use_pallas:
+        # The kernel drops idx outside [0, W) itself (contract: such
+        # rows carry zero parts — guaranteed: contrib is zeroed for
+        # straggler/inactive lanes and isfinite-sanitised upstream).
+        win = pallas_onehot.onehot_deposit(
+            q - base, parts, W, interpret=(mode_ == "interpret"))
+    else:
+        # XLA fallback/spec: same two-level factorisation.  XLA:TPU
+        # materialises the ⊗ operand to HBM (~2x step cost — why the
+        # Pallas path exists); fine on CPU and as the executable spec.
+        idx = jnp.clip(q - base, 0, W - 1)
+        lo = idx & (L - 1)
+        hi = idx >> (L.bit_length() - 1)
+        oh_lo = (lo[:, None] == jnp.arange(L, dtype=lo.dtype)[None, :]
+                 ).astype(jnp.bfloat16)                  # (P, L)
+        oh_hi = (hi[:, None] == jnp.arange(wh, dtype=hi.dtype)[None, :]
+                 ).astype(jnp.bfloat16)                  # (P, wh)
+        a = (oh_lo[:, :, None] * parts[:, None, :]).reshape(
+            parts.shape[0], L * 3 * C)
+        win = jax.lax.dot_general(
+            oh_hi, a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (wh, L*3C)
+        win = win.reshape(W, 3 * C)
     win = win[:, :C] + win[:, C:2 * C] + win[:, 2 * C:]  # hi+mid+lo
 
     if W == slots:

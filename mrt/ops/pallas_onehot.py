@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: two-level one-hot deposit (segment-sum by row id).
+
+    out[r, c] = sum over lanes p with idx[p] == r of parts[p, c]
+
+This is the MXU replacement for XLA's serial per-row scatter loop
+(~10-14 ns/row at pool 2^17 — the RTIOW roofline's binding
+constraint) and the engine under BOTH ops/film_deposit (windowed film
+deposit) and ops/compact (bit-exact masked lane compaction).
+
+Why a kernel: the XLA formulation needs the Kronecker operand
+A[p, (l, c)] = onehot_lo[p, l] * parts[p, c] fused into the dot's rhs
+load; XLA:TPU materialises it to HBM instead (~400-500 MB/step at
+pool 2^17 — measured as a flat ~2x step slowdown, W-independent,
+artifacts/film_mm_r05.json).  Here A lives one (BP, L*C) block at a
+time in VMEM.
+
+The factorisation idx = hi*L + lo keeps one-hot generation at
+P*(L + n_rows/L) comparisons AND gives the dot a fat N dimension
+(L*C >= 1536) so the MXU runs near its rate despite C being tiny;
+the output block (n_rows/L, L*C) f32 stays resident in VMEM across
+the P-block grid (~0.5 MB).
+
+Exactness: each one-hot row has exactly one 1.0; bf16 products
+against split terms are exact; accumulation is f32.  Compaction
+(bijective idx) is bit-exact; multi-lane rows reassociate f32 adds.
+Negative idx (or idx >= n_rows) matches no one-hot column and is
+dropped — callers encode "skip this lane" as idx = -1.
+
+The reference has no analogue (single-ray recursion,
+src/main.rs:629-638 merges whole frames); this cost is a TPU artifact
+of wavefront film accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+L = 128          # low-level one-hot width == lane count
+BP = 512         # lanes per grid step
+
+
+def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, wh, nc):
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    idx_col = idx_col_ref[...]                      # (BP, 1) int32
+    lo = idx_col & (L - 1)
+    ohlo = (lo == jax.lax.broadcasted_iota(
+        jnp.int32, (BP, L), 1)).astype(jnp.bfloat16)        # (BP, L)
+    # Mask lanes whose idx is outside [0, wh*L): arithmetic-shift hi of
+    # a negative idx is negative (matches no row); idx >= n_rows gives
+    # hi >= wh (matches no row) — both vanish via the hi one-hot.
+    hi_row = idx_row_ref[...] >> 7                  # (1, BP) int32
+    ohhi_t = (jax.lax.broadcasted_iota(jnp.int32, (wh, BP), 0)
+              == hi_row).astype(jnp.bfloat16)       # (wh, BP)
+
+    p = parts_ref[...]                              # (BP, nc) bf16
+    # A[p, c*L + l] = parts[p, c] * ohlo[p, l] — built per block in
+    # VMEM (the operand XLA would spill to HBM).
+    a = jnp.concatenate(
+        [ohlo * p[:, c:c + 1] for c in range(nc)], axis=1)  # (BP, nc*L)
+    out_ref[...] += jax.lax.dot_general(
+        ohhi_t, a, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (wh, nc*L)
+
+
+def onehot_deposit(idx, parts, n_rows, interpret=False):
+    """Segment-sum `parts` rows by `idx` into (n_rows, C) f32.
+
+    idx:   (P,) int32; negative or >= n_rows rows are skipped.
+    parts: (P, C) bf16 (or castable); C <= 32.
+    n_rows: static, multiple of 128.  P must be a multiple of 512.
+    """
+    P, nc = parts.shape
+    assert n_rows % L == 0 and P % BP == 0, (n_rows, P)
+    wh = n_rows // L
+    parts = parts.astype(jnp.bfloat16)
+    idx = idx.astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, wh=wh, nc=nc),
+        grid=(P // BP,),
+        in_specs=[
+            pl.BlockSpec((1, BP), lambda i: (0, i)),
+            pl.BlockSpec((BP, 1), lambda i: (i, 0)),
+            pl.BlockSpec((BP, nc), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((wh, nc * L), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((wh, nc * L), jnp.float32),
+        interpret=interpret,
+    )(idx.reshape(1, P), idx.reshape(P, 1), parts)
+    # out[h, c*L + l] -> (rows = h*L + l, c)
+    return out.reshape(wh, nc, L).transpose(0, 2, 1).reshape(n_rows, nc)
+
+
+def usable(P, n_rows, nc):
+    return P % BP == 0 and n_rows % L == 0 and nc <= 32
+
+
+def on_tpu():
+    from ..geometry.spheres import _use_pallas
+
+    return _use_pallas()

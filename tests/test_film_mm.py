@@ -45,6 +45,47 @@ def test_deposit_matmul_window_wraps_ring():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
 
 
+def test_pallas_onehot_matches_segment_sum():
+    from mrt.ops import pallas_onehot
+
+    rng = np.random.default_rng(5)
+    P, R = 2048, 1024
+    idx = rng.integers(-5, R + 5, P).astype(np.int32)
+    parts = rng.standard_normal((P, 12)).astype(np.float32)
+    parts[(idx < 0) | (idx >= R)] = 0.0     # kernel contract
+    out = pallas_onehot.onehot_deposit(
+        jnp.asarray(idx), jnp.asarray(parts), R, interpret=True)
+    ref = np.zeros((R, 12), np.float32)
+    ok = (idx >= 0) & (idx < R)
+    np.add.at(ref, idx[ok],
+              np.asarray(jnp.asarray(parts[ok], jnp.bfloat16),
+                         np.float32))
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_film_mm_pallas_path_matches_xla(monkeypatch):
+    # The interpret-mode Pallas deposit through a real render must
+    # agree with the XLA two-level path (pool 2048 = 4 kernel blocks).
+    import jax
+
+    from mrt.scenes import get as get_scene
+
+    scene, camera = get_scene("rtiow")(aspect_ratio=1.0).generate()
+    kw = dict(width=64, height=64, seed=3, sample_start=0, samples=4,
+              max_depth=8, pool=2048, slots=1024, film_mm=256)
+    monkeypatch.setenv("MRT_ONEHOT", "xla")
+    jax.clear_caches()
+    f0, d0 = render_samples_chunked(scene, camera, **kw)
+    monkeypatch.setenv("MRT_ONEHOT", "interpret")
+    jax.clear_caches()
+    f1, d1 = render_samples_chunked(scene, camera, **kw)
+    monkeypatch.delenv("MRT_ONEHOT")
+    jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("spp", [4])
 def test_film_mm_render_matches_scatter(spp):
     # Force big-frame mode on a small frame via a tiny slot window,
