@@ -166,24 +166,32 @@ def flush_stragglers(dest, slot, acc, mask, K=None):
 
     K = K or FLUSH_K
     P, C = acc.shape
-    vals = jnp.concatenate(
-        [acc, slot.astype(jnp.float32)[:, None]], axis=-1)
-    yc, pos, count = compact_rows(
-        mask, vals, K,
-        pad_row=jnp.asarray([0.0] * C + [-1.0], jnp.float32))
 
-    def compact_branch(args):
-        dest, yc, slot, acc, mask = args
-        rows = jnp.round(yc[:, C]).astype(jnp.int32)
-        # pad rows carry slot -1 -> dropped by the scatter (jit
-        # FILL_OR_DROP), values are zero anyway.
-        return dest.at[rows].add(yc[:, :C])
+    def do_flush(args):
+        dest, slot, acc, mask = args
+        vals = jnp.concatenate(
+            [acc, slot.astype(jnp.float32)[:, None]], axis=-1)
+        yc, pos, count = compact_rows(
+            mask, vals, K,
+            pad_row=jnp.asarray([0.0] * C + [-1.0], jnp.float32))
 
-    def full_branch(args):
-        dest, yc, slot, acc, mask = args
-        return dest.at[jnp.where(mask, slot, -1)].add(
-            jnp.where(mask[:, None], acc, 0.0))
+        def compact_branch(args):
+            dest, yc, slot, acc, mask = args
+            rows = jnp.round(yc[:, C]).astype(jnp.int32)
+            # pad rows carry slot -1 -> dropped by the scatter (jit
+            # FILL_OR_DROP), values are zero anyway.
+            return dest.at[rows].add(yc[:, :C])
 
-    dest = jax.lax.cond(count <= K, compact_branch, full_branch,
-                        (dest, yc, slot, acc, mask))
+        def full_branch(args):
+            dest, yc, slot, acc, mask = args
+            return dest.at[jnp.where(mask, slot, -1)].add(
+                jnp.where(mask[:, None], acc, 0.0))
+
+        return jax.lax.cond(count <= K, compact_branch, full_branch,
+                            (dest, yc, slot, acc, mask))
+
+    # Straggler deaths are rare (zero on most steps when W*spp spans
+    # the pool) — skip the whole compact+scatter unless one fired.
+    dest = jax.lax.cond(jnp.any(mask), do_flush,
+                        lambda args: args[0], (dest, slot, acc, mask))
     return dest, jnp.where(mask[:, None], 0.0, acc)
