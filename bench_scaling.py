@@ -28,6 +28,8 @@ def main():
     depth = int(sys.argv[4]) if len(sys.argv) > 4 else 50
 
     n_dev = len(jax.devices())
+    platform = jax.devices()[0].platform
+    host_mesh = platform == "cpu"
     scene, camera = get("rtiow")(aspect_ratio=width / height).generate()
 
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
@@ -41,23 +43,43 @@ def main():
         film = render_sharded(scene, camera, width, height, mesh, spp=1,
                               max_depth=depth, persistent=True)
         film.sum.block_until_ready()
-        t0 = time.perf_counter()
-        film = render_sharded(scene, camera, width, height, mesh,
-                              spp=spp, max_depth=depth, persistent=True,
-                              film=None)
-        film.sum.block_until_ready()
-        dt = time.perf_counter() - t0
-        rays = width * height * spp / dt
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            film = render_sharded(scene, camera, width, height, mesh,
+                                  spp=spp, max_depth=depth,
+                                  persistent=True, film=None)
+            film.sum.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        rays = width * height * spp / best
         if base is None:
             base = rays
+        # On a real pod, efficiency = rays/(base*n) (the >=85% BASELINE
+        # target).  On a virtual CPU host mesh all N "devices" share
+        # one socket, so ideal is FLAT throughput and the meaningful
+        # number is retention = rays/base (sharding overhead only).
         eff = rays / (base * n)
+        ret = rays / base
         results[n] = {"rays_per_sec": round(rays, 1),
-                      "efficiency": round(eff, 4)}
-        print(f"# {n} device(s): {rays / 1e6:.2f}M rays/s, "
-              f"efficiency {eff:.2%}", file=sys.stderr)
+                      "efficiency": round(eff, 4),
+                      "retention": round(ret, 4)}
+        print(f"# {n} device(s): {rays / 1e6:.3f}M rays/s, "
+              f"{'retention' if host_mesh else 'efficiency'} "
+              f"{(ret if host_mesh else eff):.2%}", file=sys.stderr)
 
-    print(json.dumps({"metric": "scaling_efficiency",
-                      "devices": results}))
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "platform": platform,
+        "host_mesh": host_mesh,
+        "workload": {"width": width, "height": height, "spp": spp,
+                     "depth": depth},
+        "note": ("virtual host mesh: N devices share one socket; "
+                 "ideal is flat throughput (retention ~1), the "
+                 ">=85% rays/(base*N) target needs a real pod"
+                 if host_mesh else
+                 "real accelerator mesh: efficiency vs the >=85% "
+                 "BASELINE target"),
+        "devices": results}))
 
 
 if __name__ == "__main__":
