@@ -318,7 +318,15 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         slot = q & jnp.int32(slots_eff - 1) if big_mode else q
         contrib = jnp.concatenate(
             [radiance_add, scat.astype(jnp.float32)[:, None]], axis=-1)
-        if film_mm:
+        import os as _os
+        if _os.environ.get("MRT_FILM_SKIP") == "1":
+            # PROBE ONLY (wrong output): drop the film update entirely
+            # to measure how much of the scatter's cost XLA actually
+            # hides behind the rest of the step (tools/probe_film_mm).
+            if film_mm:
+                strag = jnp.zeros_like(active)
+                acc = rest[0]
+        elif film_mm:
             # Windowed one-hot MXU deposit (ops/film_deposit), window
             # riding the CLAIM FRONTIER: lanes claimed within the last
             # W pixels (the dense mass — claims are pixel-major)
