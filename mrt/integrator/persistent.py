@@ -344,10 +344,13 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
                                claimed_q - jnp.int32(film_mm - 1))
             strag = active & (q < base)
             contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
-            dest = film_deposit.deposit_matmul(
-                dest, q, jnp.where(strag[:, None], 0.0, contrib),
-                base, film_mm)
-            acc = rest[0] + jnp.where(strag[:, None], contrib, 0.0)
+            if _os.environ.get("MRT_MM_NODEP") == "1":  # probe only
+                acc = rest[0]
+            else:
+                dest = film_deposit.deposit_matmul(
+                    dest, q, jnp.where(strag[:, None], 0.0, contrib),
+                    base, film_mm)
+                acc = rest[0] + jnp.where(strag[:, None], contrib, 0.0)
         elif pend:
             # Per-lane pending accumulator + predicated deposit kernel:
             # only dying lanes touch dest (~pool/avg_depth rows) instead
@@ -370,7 +373,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         # pixel runs SLOTS ahead of the flush frontier (slot-reuse
         # safety; a gated lane idles and re-claims next step).
         dead = active & ~cont
-        if film_mm:
+        if film_mm and _os.environ.get("MRT_MM_NOFLUSH") != "1":
             # Dying stragglers release their pending accumulator:
             # compacted K-row scatter (full-width fallback on
             # overflow), before the lane re-claims.

@@ -112,21 +112,33 @@ def expand_rows(y, pos, mask):
 
 def compact_apply(fn, mask, x, K, L=L_DEFAULT, pad_row=None):
     """out = where(mask, fn_rowwise(x), 0) evaluating fn on <= K
-    compacted rows; falls back to full-width evaluation when the
-    masked count exceeds K (both branches trace; one executes).
+    compacted rows per round of a while_loop; extra rounds only when
+    the masked count overflows K (e.g. the all-camera-ray transient).
+
+    A lax.cond with a full-width fallback was measured paying for
+    BOTH arms inside the persistent loop on hardware (the r5
+    film-deposit decomposition probe) — while_loops are never
+    select-converted, and the empty-mask case costs zero iterations.
 
     fn must be row-wise (out[i] depends only on in[i]) and
-    shape-polymorphic; it receives (K, C) in the compact branch and
-    (P, C) in the fallback."""
-    xc, pos, count = compact_rows(mask, x, K, L=L, pad_row=pad_row)
+    shape-polymorphic over the row count."""
+    out_sd = jax.eval_shape(fn, jax.ShapeDtypeStruct(
+        (K,) + x.shape[1:], x.dtype))
+    out0 = jnp.zeros((x.shape[0],) + out_sd.shape[1:], out_sd.dtype)
 
-    def compact_branch(args):
-        x, xc, pos, mask = args
-        return expand_rows(fn(xc), pos, mask)
+    def cond(carry):
+        out, m = carry
+        return jnp.any(m)
 
-    def full_branch(args):
-        x, xc, pos, mask = args
-        return jnp.where(mask[..., None], fn(x), 0.0)
+    def body(carry):
+        out, m = carry
+        # First <= K masked rows (a PREFIX of m: compact_rows'
+        # internal positions agree, nothing clips onto row K-1).
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        mk = m & (pos < K)
+        xc, posk, _ = compact_rows(mk, x, K, L=L, pad_row=pad_row)
+        out = out + expand_rows(fn(xc), posk, mk)
+        return out, m & ~mk
 
-    return jax.lax.cond(count <= K, compact_branch, full_branch,
-                        (x, xc, pos, mask))
+    out, _ = jax.lax.while_loop(cond, body, (out0, mask))
+    return out

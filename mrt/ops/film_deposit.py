@@ -138,6 +138,9 @@ def deposit_matmul(dest, q, contrib, base, W, L=None):
         win = win.reshape(W, 3 * C)
     win = win[:, :C] + win[:, C:2 * C] + win[:, 2 * C:]  # hi+mid+lo
 
+    if os.environ.get("MRT_MM_NORING") == "1":  # probe only: keep the
+        # kernel live but skip the ring roll-add (wrong output).
+        return dest.at[:1].add(win[:1])
     if W == slots:
         pad = win
     else:
@@ -166,32 +169,35 @@ def flush_stragglers(dest, slot, acc, mask, K=None):
 
     K = K or FLUSH_K
     P, C = acc.shape
+    vals = jnp.concatenate(
+        [acc, slot.astype(jnp.float32)[:, None]], axis=-1)
 
-    def do_flush(args):
-        dest, slot, acc, mask = args
-        vals = jnp.concatenate(
-            [acc, slot.astype(jnp.float32)[:, None]], axis=-1)
-        yc, pos, count = compact_rows(
-            mask, vals, K,
+    # while_loop, NOT lax.cond: a cond whose fallback branch holds the
+    # full-width scatter measured as ~1.75 ms/step on hardware even
+    # when never taken (XLA executes/selects both arms inside the
+    # persistent loop — the r5 decomposition probe).  The loop body
+    # compacts the first <= K masked rows and scatters them; zero
+    # iterations when no straggler died (the common case), one
+    # normally, several on overflow.  Loops are never select-converted.
+    def cond(carry):
+        dest, mask = carry
+        return jnp.any(mask)
+
+    def body(carry):
+        dest, mask = carry
+        # Take the first <= K masked rows this round (a PREFIX of the
+        # mask, so compact_rows' internal positions agree and no row
+        # can clip onto K-1).
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        mask_k = mask & (pos < K)
+        yc, _, _ = compact_rows(
+            mask_k, vals, K,
             pad_row=jnp.asarray([0.0] * C + [-1.0], jnp.float32))
+        rows = jnp.round(yc[:, C]).astype(jnp.int32)
+        # pad rows carry slot -1 -> dropped by the scatter (jit
+        # FILL_OR_DROP), values are zero anyway.
+        dest = dest.at[rows].add(yc[:, :C])
+        return dest, mask & ~mask_k
 
-        def compact_branch(args):
-            dest, yc, slot, acc, mask = args
-            rows = jnp.round(yc[:, C]).astype(jnp.int32)
-            # pad rows carry slot -1 -> dropped by the scatter (jit
-            # FILL_OR_DROP), values are zero anyway.
-            return dest.at[rows].add(yc[:, :C])
-
-        def full_branch(args):
-            dest, yc, slot, acc, mask = args
-            return dest.at[jnp.where(mask, slot, -1)].add(
-                jnp.where(mask[:, None], acc, 0.0))
-
-        return jax.lax.cond(count <= K, compact_branch, full_branch,
-                            (dest, yc, slot, acc, mask))
-
-    # Straggler deaths are rare (zero on most steps when W*spp spans
-    # the pool) — skip the whole compact+scatter unless one fired.
-    dest = jax.lax.cond(jnp.any(mask), do_flush,
-                        lambda args: args[0], (dest, slot, acc, mask))
+    dest, _ = jax.lax.while_loop(cond, body, (dest, mask))
     return dest, jnp.where(mask[:, None], 0.0, acc)
