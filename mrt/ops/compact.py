@@ -104,8 +104,23 @@ def compact_rows(mask, x, K, L=L_DEFAULT, pad_row=None):
 
 def expand_rows(y, pos, mask):
     """Inverse of compact_rows for per-lane results: out[p] = y[pos[p]]
-    where mask else 0.  Serial gather from the small (K, C) table."""
-    K = y.shape[0]
+    where mask else 0.  Bit-exact either way: the one-hot gather
+    kernel when the (K, C) table fits its VMEM budget (XLA's serial
+    per-output-row gather loop costs ~17 ns * P otherwise)."""
+    import os
+
+    from . import pallas_onehot
+
+    K, C = y.shape
+    P = pos.shape[0]
+    mode_ = os.environ.get("MRT_ONEHOT")
+    if (pallas_onehot.gather_usable(P, K, C) and mode_ != "xla"
+            and (mode_ in ("pallas", "interpret")
+                 or pallas_onehot.on_tpu())):
+        g = pallas_onehot.onehot_gather(
+            jnp.where(mask, pos, -1), y,
+            interpret=(mode_ == "interpret"))
+        return jnp.where(mask[..., None], g, 0.0)
     g = y[jnp.clip(pos, 0, K - 1)]
     return jnp.where(mask[..., None], g, 0.0)
 

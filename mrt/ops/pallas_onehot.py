@@ -107,3 +107,73 @@ def on_tpu():
     from ..geometry.spheres import _use_pallas
 
     return _use_pallas()
+
+
+# ---------------------------------------------------------------------------
+# The inverse op: one-hot GATHER from a VMEM-resident table.
+#
+#     out[p, c] = table[idx[p], c]        (0 where idx out of range)
+#
+# XLA lowers this to the serial per-output-row loop (~17 ns/row — the
+# expand_rows cost that eats most of a compaction's win).  Here the
+# table rides VMEM whole, each lane's hi-level one-hot pulls its
+# L-row candidate group via one MXU dot, and the lo-level one-hot
+# selects within the group on the VPU — no serial loop, bit-exact
+# (single nonzero per reduction).
+# ---------------------------------------------------------------------------
+
+# Table budget: K * 3C * 2 bytes must fit VMEM alongside the blocks.
+GATHER_MAX_TABLE = 4 << 20
+
+
+def _gather_kernel(idx_ref, t2_ref, out_ref, *, nc):
+    idx = idx_ref[...]                              # (BP, 1) int32
+    kh = t2_ref.shape[0]
+    ohhi = ((idx >> 7) == jax.lax.broadcasted_iota(
+        jnp.int32, (BP, kh), 1)).astype(jnp.bfloat16)       # (BP, kh)
+    g1 = jax.lax.dot_general(
+        ohhi, t2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (BP, nc*L)
+    ohlo = ((idx & (L - 1)) == jax.lax.broadcasted_iota(
+        jnp.int32, (BP, L), 1)).astype(jnp.float32)         # (BP, L)
+    cols = [jnp.sum(ohlo * g1[:, c * L:(c + 1) * L], axis=1,
+                    keepdims=True) for c in range(nc)]
+    out_ref[...] = jnp.concatenate(cols, axis=1)    # (BP, nc)
+
+
+def onehot_gather(idx, table, interpret=False):
+    """Bit-exact `table[idx]` for an f32 (K, C) table and (P,) int32
+    idx; out-of-range idx rows return 0.  K multiple of 128, P
+    multiple of 512, K*3C*2 bytes within the VMEM table budget.
+
+    The table must be finite everywhere: the MXU contraction includes
+    0 * table[r] terms for unselected rows, and 0 * NaN/Inf poisons
+    the product (compact_apply's pad_row exists to guarantee this)."""
+    from .rowlookup import _split3
+
+    K, C = table.shape
+    P = idx.shape[0]
+    assert K % L == 0 and P % BP == 0, (K, P)
+    h, m, l = _split3(table)
+    t3 = jnp.concatenate([h, m, l], axis=-1)        # (K, 3C) bf16
+    nc = 3 * C
+    # T2[kh, c*L + kl] = t3[kh*L + kl, c]
+    t2 = t3.reshape(K // L, L, nc).transpose(0, 2, 1).reshape(
+        K // L, nc * L)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, nc=nc),
+        grid=(P // BP,),
+        in_specs=[
+            pl.BlockSpec((BP, 1), lambda i: (i, 0)),
+            pl.BlockSpec((K // L, nc * L), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BP, nc), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, nc), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32).reshape(P, 1), t2)
+    return (out[:, :C] + out[:, C:2 * C]) + out[:, 2 * C:]
+
+
+def gather_usable(P, K, C):
+    return (P % BP == 0 and K % L == 0 and C <= 10
+            and K * 3 * C * 2 <= GATHER_MAX_TABLE)

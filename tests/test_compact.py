@@ -48,6 +48,21 @@ def test_compact_apply_matches_full(frac):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_onehot_gather_bit_exact():
+    from mrt.ops import pallas_onehot
+
+    rng = np.random.default_rng(2)
+    P, K, C = 1024, 256, 3
+    table = (rng.standard_normal((K, C))
+             * 10.0 ** rng.integers(-10, 10, (K, C))).astype(np.float32)
+    idx = rng.integers(-3, K + 3, P).astype(np.int32)
+    out = np.asarray(pallas_onehot.onehot_gather(
+        jnp.asarray(idx), jnp.asarray(table), interpret=True))
+    ok = (idx >= 0) & (idx < K)
+    np.testing.assert_array_equal(out[ok], table[idx[ok]])
+    assert (out[~ok] == 0.0).all()
+
+
 def test_bg_compact_render_bit_identical():
     # Eve's cubemap background through the compacted path must produce
     # the exact same film as the full-width eval.
@@ -57,19 +72,31 @@ def test_bg_compact_render_bit_identical():
     scene, camera = get("eve")(aspect_ratio=1.0).generate()
     kw = dict(width=48, height=48, seed=5, sample_start=0, samples=2,
               max_depth=6, pool=4096)
-    old = os.environ.get("MRT_BG_COMPACT")
+    old = {k: os.environ.get(k)
+           for k in ("MRT_BG_COMPACT", "MRT_ONEHOT")}
     try:
         os.environ["MRT_BG_COMPACT"] = "0"
-        jax.clear_caches()   # the flag is read at trace time
+        jax.clear_caches()   # the flags are read at trace time
         f0, d0 = render_samples_chunked(scene, camera, **kw)
         os.environ["MRT_BG_COMPACT"] = "1"
         jax.clear_caches()
         f1, d1 = render_samples_chunked(scene, camera, **kw)
+        # Same again through the Pallas kernels (interpret mode).
+        os.environ["MRT_ONEHOT"] = "interpret"
+        jax.clear_caches()
+        f2, d2 = render_samples_chunked(scene, camera, **kw)
     finally:
-        if old is None:
-            os.environ.pop("MRT_BG_COMPACT", None)
-        else:
-            os.environ["MRT_BG_COMPACT"] = old
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         jax.clear_caches()
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d2))
+    # The kernels themselves are bit-exact (unit tests above); routing
+    # through them changes the envmap eval's fusion context, which can
+    # re-contract an FMA — ulp-level on the radiance only.
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f2),
+                               rtol=1e-6, atol=1e-7)
