@@ -179,25 +179,35 @@ def flush_stragglers(dest, slot, acc, mask, K=None):
     # compacts the first <= K masked rows and scatters them; zero
     # iterations when no straggler died (the common case), one
     # normally, several on overflow.  Loops are never select-converted.
-    def cond(carry):
-        dest, mask = carry
-        return jnp.any(mask)
+    mode_ = os.environ.get("MRT_MM_FLUSH_MODE", "loop")
 
-    def body(carry):
-        dest, mask = carry
-        # Take the first <= K masked rows this round (a PREFIX of the
-        # mask, so compact_rows' internal positions agree and no row
-        # can clip onto K-1).
+    def one_round(dest, mask):
+        # First <= K masked rows (a PREFIX of the mask, so
+        # compact_rows' internal positions agree and no row can clip
+        # onto K-1).
         pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
         mask_k = mask & (pos < K)
         yc, _, _ = compact_rows(
             mask_k, vals, K,
             pad_row=jnp.asarray([0.0] * C + [-1.0], jnp.float32))
         rows = jnp.round(yc[:, C]).astype(jnp.int32)
+        if mode_ == "nsc":      # probe only: no scatter (wrong output)
+            return dest.at[:1].add(yc[:1, :C]), mask & ~mask_k
         # pad rows carry slot -1 -> dropped by the scatter (jit
         # FILL_OR_DROP), values are zero anyway.
-        dest = dest.at[rows].add(yc[:, :C])
-        return dest, mask & ~mask_k
+        return dest.at[rows].add(yc[:, :C]), mask & ~mask_k
+
+    if mode_ in ("single", "nsc"):  # probe only: drops overflow rows
+        dest, _ = one_round(dest, mask)
+        return dest, jnp.where(mask[:, None], 0.0, acc)
+
+    def cond(carry):
+        dest, mask = carry
+        return jnp.any(mask)
+
+    def body(carry):
+        dest, mask = carry
+        return one_round(dest, mask)
 
     dest, _ = jax.lax.while_loop(cond, body, (dest, mask))
     return dest, jnp.where(mask[:, None], 0.0, acc)
