@@ -25,7 +25,10 @@ import numpy as np
 
 PIXEL = int(sys.argv[1]) if len(sys.argv) > 1 else 135890
 SPP = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-W, H, DEPTH, SEED = 960, 540, 32, 1
+W = int(sys.argv[3]) if len(sys.argv) > 3 else 960
+H = int(sys.argv[4]) if len(sys.argv) > 4 else 540
+DEPTH = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+SEED = 1
 
 
 def main():
