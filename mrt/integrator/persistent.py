@@ -325,7 +325,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
             # hides behind the rest of the step (tools/probe_film_mm).
             if film_mm:
                 strag = jnp.zeros_like(active)
-                acc = rest[0]
+                acc, pslot, pacc = rest[0], rest[1], rest[2]
         elif film_mm:
             # Windowed one-hot MXU deposit (ops/film_deposit), window
             # riding the CLAIM FRONTIER: lanes claimed within the last
@@ -344,13 +344,11 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
                                claimed_q - jnp.int32(film_mm - 1))
             strag = active & (q < base)
             contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
-            if _os.environ.get("MRT_MM_NODEP") == "1":  # probe only
-                acc = rest[0]
-            else:
-                dest = film_deposit.deposit_matmul(
-                    dest, q, jnp.where(strag[:, None], 0.0, contrib),
-                    base, film_mm)
-                acc = rest[0] + jnp.where(strag[:, None], contrib, 0.0)
+            dest = film_deposit.deposit_matmul(
+                dest, q, jnp.where(strag[:, None], 0.0, contrib),
+                base, film_mm)
+            acc = rest[0] + jnp.where(strag[:, None], contrib, 0.0)
+            pslot, pacc = rest[1], rest[2]
         elif pend:
             # Per-lane pending accumulator + predicated deposit kernel:
             # only dying lanes touch dest (~pool/avg_depth rows) instead
@@ -373,12 +371,21 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         # pixel runs SLOTS ahead of the flush frontier (slot-reuse
         # safety; a gated lane idles and re-claims next step).
         dead = active & ~cont
-        if film_mm and _os.environ.get("MRT_MM_NOFLUSH") != "1":
-            # Dying stragglers release their pending accumulator:
-            # compacted K-row scatter (full-width fallback on
-            # overflow), before the lane re-claims.
-            dest, acc = film_deposit.flush_stragglers(
-                dest, slot, acc, strag & dead)
+        if film_mm:
+            # Dying stragglers PARK their accumulator in the per-lane
+            # pending register; the block driver flushes all pendings
+            # once per FLUSH_STEPS (scatter-free MXU deposit).  A lane
+            # can only need its register again after re-stragglering
+            # (>= W/claim-rate steps), so in-step conflicts are rare —
+            # the while_loop inside flush_pending costs zero
+            # iterations when none fired.
+            sd = strag & dead
+            conflict = sd & (pslot >= 0)
+            dest, pslot, pacc = film_deposit.flush_pending(
+                dest, pslot, pacc, mask=conflict)
+            pslot = jnp.where(sd, slot, pslot)
+            pacc = jnp.where(sd[:, None], acc, pacc)
+            acc = jnp.where(sd[:, None], 0.0, acc)
         idle = ~active
         claim = dead | idle
         offsets = jnp.cumsum(claim.astype(jnp.int32)) - 1
@@ -410,7 +417,9 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
 
         out = (item, bounce, o, d, throughput, ray_id, next_work,
                dest, flushed_q, prev_pdf)
-        if pend or film_mm:
+        if film_mm:
+            out = out + (acc, pslot, pacc)
+        elif pend:
             out = out + (acc,)
         return out
 
@@ -449,9 +458,24 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         flushed_q = jnp.where(can, flushed_q + slab, flushed_q)
         return state[:7] + (dest, flushed_q) + state[9:], film
 
+    def flush_pendings(state):
+        """Release every parked straggler accumulator into the dest
+        ring (film_mm only; scatter-free).  Runs once per FLUSH_STEPS
+        block, BEFORE maybe_flush — a parked pixel no longer pins
+        min_live, so its slab could otherwise flush to film first."""
+        if not film_mm:
+            return state
+        from ..ops import film_deposit
+
+        dest, pslot, pacc = state[7], state[11], state[12]
+        dest, pslot, pacc = film_deposit.flush_pending(dest, pslot,
+                                                       pacc)
+        return state[:7] + (dest,) + state[8:11] + (pslot, pacc)
+
     def finalize(state, film):
         """Drain every remaining slab (the unflushed window is at most
         SLABS slabs wide, +1 for a partial tail)."""
+        state = flush_pendings(state)
         if not big_mode:
             return film + state[7]
         for _ in range(slots_eff // slab + 2):
@@ -459,7 +483,7 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         return film
 
     return (total, make_rays, step, maybe_flush, finalize, layout,
-            (neutral_o, neutral_d))
+            (neutral_o, neutral_d), flush_pendings)
 
 
 def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit,
@@ -490,6 +514,13 @@ def _init_state(make_rays, pool, dest, vzero_f, vzero_i, init_limit,
         # Per-lane pending (radiance, bounce-count) accumulator: the
         # pend film mode deposits once per path death, not per step.
         state = state + (jnp.zeros((pool, 4), jnp.float32) + vzero_f,)
+    if pending == "mm":
+        # film_mm straggler registers: parked (slot, accumulator)
+        # pairs, flushed scatter-free once per block.
+        state = state + (
+            jnp.full((pool,), -1, jnp.int32) + vzero_i,
+            jnp.zeros((pool, 4), jnp.float32) + vzero_f,
+        )
     return state
 
 
@@ -535,7 +566,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
     vzero_i = vzero_f.astype(jnp.int32)
 
     (total, make_rays, step, maybe_flush, finalize, layout,
-     neutral) = _build(
+     neutral, flush_pendings) = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, pixel_offset, n_pixels, sample_stride, rr_depth,
         slots, pend=pend, film_mm=film_mm)
@@ -552,7 +583,8 @@ def render_samples_persistent(scene, camera, width, height, seed,
         init_limit = _BIG
     state = _init_state(make_rays, pool, dest, vzero_f, vzero_i,
                         init_limit, neutral,
-                        pending=bool(pend) or bool(film_mm and big_mode))
+                        pending="mm" if film_mm and big_mode
+                        else bool(pend))
 
     def cond(carry):
         state, film = carry
@@ -565,6 +597,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
     def body(carry):
         state, film = carry
         state = run_block(state)
+        state = flush_pendings(state)
         state, film = maybe_flush(state, film)
         state, film = maybe_flush(state, film)
         return state, film
@@ -581,7 +614,7 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
                 samples, *, width, height, max_depth, pool, rr_depth,
                 slots=None, sort_rays=False, pend=False, film_mm=0):
     (total, make_rays, step, maybe_flush, finalize, layout,
-     neutral) = _build(
+     neutral, flush_pendings) = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots)
     slots_eff, slab, npix_pad, big_mode = layout
@@ -591,10 +624,10 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
     film = _pack_film(film_sum, depth_sum, npix_pad)
     init_limit = (jnp.int32(slots_eff) * jnp.asarray(samples, jnp.int32)
                   if big_mode else _BIG)
-    big_mm = film_mm and big_mode
     return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
                         init_limit, neutral,
-                        pending=bool(pend) or bool(big_mm)), film)
+                        pending="mm" if film_mm and big_mode
+                        else bool(pend)), film)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
@@ -605,7 +638,8 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
                slots=None, sort_rays=False, pend=False, film_mm=0):
     # chunk_steps is TRACED: the adaptive driver changes it per chunk
     # without recompiling (remote compiles cost minutes here).
-    total, _, step, maybe_flush, finalize, layout, neutral = _build(
+    (total, _, step, maybe_flush, finalize, layout, neutral,
+     flush_pendings) = _build(
         scene, camera, width, height, seed, sample_start, samples,
         max_depth, pool, 0, None, 1, rr_depth, slots, pend=pend,
         film_mm=film_mm)
@@ -621,6 +655,7 @@ def _chunk_run(scene, camera, state, film, seed, sample_start, samples,
     def body(carry):
         i, st, film = carry
         st = run_block(st)
+        st = flush_pendings(st)
         st, film = maybe_flush(st, film)
         st, film = maybe_flush(st, film)
         return i + FLUSH_STEPS, st, film
@@ -638,9 +673,10 @@ def _chunk_finalize(scene, camera, state, film, seed, sample_start,
                     samples, *, width, height, max_depth, pool,
                     rr_depth, slots=None, sort_rays=False,
                     pend=False, film_mm=0):
-    total, _, _, _, finalize, layout, _n = _build(
+    total, _, _, _, finalize, layout, _n, _fp = _build(
         scene, camera, width, height, seed, sample_start, samples,
-        max_depth, pool, 0, None, 1, rr_depth, slots)
+        max_depth, pool, 0, None, 1, rr_depth, slots, pend=pend,
+        film_mm=film_mm)
     npix = width * height
     film = finalize(state, film)
     return _unpack_film(film, npix)

@@ -149,65 +149,77 @@ def deposit_matmul(dest, q, contrib, base, W, L=None):
     return dest + jnp.roll(pad, shift, axis=0)
 
 
-# Straggler-flush compaction width: lanes older than the deposit
-# window accumulate per-lane and flush once at path death; deaths of
-# such old lanes are rare (the deep-path tail), so a small compacted
-# scatter absorbs them.  Overflow falls back to a full-width scatter
-# inside the same program (lax.cond).
+# Pending-flush compaction width per round.
 FLUSH_K = int(os.environ.get("MRT_FILM_MM_K", "8192"))
 
 
-def flush_stragglers(dest, slot, acc, mask, K=None):
-    """dest[slot[p]] += acc[p] for masked lanes; returns (dest, acc)
-    with flushed rows zeroed.
+def flush_pending(dest, pslot, pacc, mask=None, K=None,
+                  interpret=False):
+    """dest[pslot[p]] += pacc[p] for pending lanes — SCATTER-FREE.
 
-    The masked rows are compacted (bit-exact one-hot matmuls,
-    ops/compact) and scattered with a K-row serial scatter (~17 ns/row
-    — cheap at K=8192 vs the pool-row scatter this mode replaces).
-    count > K falls back to the full-width scatter."""
+    The r5 hardware decomposition measured any in-loop scatter at a
+    ~1.35 ms FIXED cost in the persistent step regardless of row
+    count (8192 rows cost the same as 131072 —
+    artifacts/film_mm_r05.json), so pendings are compacted (bit-exact
+    one-hot matmuls) and deposited into the full dest ring through
+    the row-blocked onehot_deposit kernel instead.  A while_loop
+    handles >K pendings (zero iterations when none — the common
+    case).
+
+    Returns (dest, pslot, pacc) with flushed rows cleared to (-1, 0).
+    """
     from .compact import compact_rows
 
     K = K or FLUSH_K
-    P, C = acc.shape
+    P, C = pacc.shape
+    slots = dest.shape[0]
+    mask = (pslot >= 0) if mask is None else (mask & (pslot >= 0))
     vals = jnp.concatenate(
-        [acc, slot.astype(jnp.float32)[:, None]], axis=-1)
-
-    # while_loop, NOT lax.cond: a cond whose fallback branch holds the
-    # full-width scatter measured as ~1.75 ms/step on hardware even
-    # when never taken (XLA executes/selects both arms inside the
-    # persistent loop — the r5 decomposition probe).  The loop body
-    # compacts the first <= K masked rows and scatters them; zero
-    # iterations when no straggler died (the common case), one
-    # normally, several on overflow.  Loops are never select-converted.
-    mode_ = os.environ.get("MRT_MM_FLUSH_MODE", "loop")
-
-    def one_round(dest, mask):
-        # First <= K masked rows (a PREFIX of the mask, so
-        # compact_rows' internal positions agree and no row can clip
-        # onto K-1).
-        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        mask_k = mask & (pos < K)
-        yc, _, _ = compact_rows(
-            mask_k, vals, K,
-            pad_row=jnp.asarray([0.0] * C + [-1.0], jnp.float32))
-        rows = jnp.round(yc[:, C]).astype(jnp.int32)
-        if mode_ == "nsc":      # probe only: no scatter (wrong output)
-            return dest.at[:1].add(yc[:1, :C]), mask & ~mask_k
-        # pad rows carry slot -1 -> dropped by the scatter (jit
-        # FILL_OR_DROP), values are zero anyway.
-        return dest.at[rows].add(yc[:, :C]), mask & ~mask_k
-
-    if mode_ in ("single", "nsc"):  # probe only: drops overflow rows
-        dest, _ = one_round(dest, mask)
-        return dest, jnp.where(mask[:, None], 0.0, acc)
+        [pacc, pslot.astype(jnp.float32)[:, None]], axis=-1)
 
     def cond(carry):
-        dest, mask = carry
-        return jnp.any(mask)
+        dest, m = carry
+        return jnp.any(m)
 
     def body(carry):
-        dest, mask = carry
-        return one_round(dest, mask)
+        dest, m = carry
+        # First <= K masked rows (a PREFIX of m: compact_rows'
+        # internal positions agree, nothing clips onto row K-1).
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        mk = m & (pos < K)
+        yc, _, _ = compact_rows(
+            mk, vals, K,
+            pad_row=jnp.asarray([0.0] * C + [-1.0], jnp.float32))
+        rows = jnp.round(yc[:, C]).astype(jnp.int32)
+        h, mm_, l = _split3(yc[:, :C])
+        parts = jnp.concatenate([h, mm_, l], axis=-1)    # (K, 3C)
+        win = _ring_deposit(rows, parts, slots, C, interpret)
+        return dest + win, m & ~mk
 
     dest, _ = jax.lax.while_loop(cond, body, (dest, mask))
-    return dest, jnp.where(mask[:, None], 0.0, acc)
+    keep = ~mask
+    return (dest,
+            jnp.where(keep, pslot, -1),
+            jnp.where(keep[:, None], pacc, 0.0))
+
+
+def _ring_deposit(rows, parts, slots, C, interpret):
+    """(slots, C) f32 deposit of compacted parts via the blocked
+    kernel (pad rows carry -1 and vanish); XLA fallback off-TPU."""
+    from . import pallas_onehot
+
+    mode_ = os.environ.get("MRT_ONEHOT")
+    if (pallas_onehot.usable(rows.shape[0], slots, parts.shape[1])
+            and mode_ != "xla"
+            and (mode_ in ("pallas", "interpret") or interpret
+                 or pallas_onehot.on_tpu())):
+        win = pallas_onehot.onehot_deposit(
+            rows, parts, slots,
+            interpret=interpret or mode_ == "interpret")
+    else:
+        # Small-scale fallback (CPU tests): plain segment add.
+        win = jnp.zeros((slots, parts.shape[1]), jnp.float32)
+        win = win.at[jnp.clip(rows, 0, slots - 1)].add(
+            jnp.where((rows >= 0)[:, None],
+                      parts.astype(jnp.float32), 0.0))
+    return win[:, :C] + win[:, C:2 * C] + win[:, 2 * C:]

@@ -44,21 +44,23 @@ L = 128          # low-level one-hot width == lane count
 BP = 512         # lanes per grid step
 
 
-def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, wh, nc):
-    @pl.when(pl.program_id(0) == 0)
+def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, whb, nc):
+    @pl.when(pl.program_id(1) == 0)
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    j = pl.program_id(0)                            # output row block
     idx_col = idx_col_ref[...]                      # (BP, 1) int32
     lo = idx_col & (L - 1)
     ohlo = (lo == jax.lax.broadcasted_iota(
         jnp.int32, (BP, L), 1)).astype(jnp.bfloat16)        # (BP, L)
-    # Mask lanes whose idx is outside [0, wh*L): arithmetic-shift hi of
-    # a negative idx is negative (matches no row); idx >= n_rows gives
-    # hi >= wh (matches no row) — both vanish via the hi one-hot.
-    hi_row = idx_row_ref[...] >> 7                  # (1, BP) int32
-    ohhi_t = (jax.lax.broadcasted_iota(jnp.int32, (wh, BP), 0)
-              == hi_row).astype(jnp.bfloat16)       # (wh, BP)
+    # Mask lanes whose idx is outside this block's [j*whb*L,
+    # (j+1)*whb*L): arithmetic-shift hi of a negative idx is negative
+    # and out-of-range hi matches no row — both vanish via the hi
+    # one-hot.
+    hi_row = (idx_row_ref[...] >> 7) - j * whb      # (1, BP) int32
+    ohhi_t = (jax.lax.broadcasted_iota(jnp.int32, (whb, BP), 0)
+              == hi_row).astype(jnp.bfloat16)       # (whb, BP)
 
     p = parts_ref[...]                              # (BP, nc) bf16
     # A[p, c*L + l] = parts[p, c] * ohlo[p, l] — built per block in
@@ -67,31 +69,43 @@ def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, wh, nc):
         [ohlo * p[:, c:c + 1] for c in range(nc)], axis=1)  # (BP, nc*L)
     out_ref[...] += jax.lax.dot_general(
         ohhi_t, a, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)         # (wh, nc*L)
+        preferred_element_type=jnp.float32)         # (whb, nc*L)
+
+
+# Output rows (wh units of L) per grid block: bounds the resident f32
+# accumulator block to ROW_BLOCK * nc * L * 4 bytes (~1.5 MB at nc=12).
+ROW_BLOCK = 256
 
 
 def onehot_deposit(idx, parts, n_rows, interpret=False):
     """Segment-sum `parts` rows by `idx` into (n_rows, C) f32.
 
-    idx:   (P,) int32; negative or >= n_rows rows are skipped.
+    idx:   (P,) int32; negative or >= n_rows rows are skipped (their
+           parts must be finite — 0 * NaN poisons the contraction).
     parts: (P, C) bf16 (or castable); C <= 32.
     n_rows: static, multiple of 128.  P must be a multiple of 512.
+
+    Large n_rows (e.g. a full 2^18-row film ring) is served by a 2D
+    grid blocked over output rows; FLOPs stay P*n_rows*C*2, so keep P
+    compacted when n_rows is the full ring.
     """
     P, nc = parts.shape
     assert n_rows % L == 0 and P % BP == 0, (n_rows, P)
     wh = n_rows // L
+    whb = min(wh, ROW_BLOCK)
+    assert wh % whb == 0, (wh, whb)
     parts = parts.astype(jnp.bfloat16)
     idx = idx.astype(jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, wh=wh, nc=nc),
-        grid=(P // BP,),
+        functools.partial(_kernel, whb=whb, nc=nc),
+        grid=(wh // whb, P // BP),
         in_specs=[
-            pl.BlockSpec((1, BP), lambda i: (0, i)),
-            pl.BlockSpec((BP, 1), lambda i: (i, 0)),
-            pl.BlockSpec((BP, nc), lambda i: (i, 0)),
+            pl.BlockSpec((1, BP), lambda j, i: (0, i)),
+            pl.BlockSpec((BP, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((BP, nc), lambda j, i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((wh, nc * L), lambda i: (0, 0)),
+        out_specs=pl.BlockSpec((whb, nc * L), lambda j, i: (j, 0)),
         out_shape=jax.ShapeDtypeStruct((wh, nc * L), jnp.float32),
         interpret=interpret,
     )(idx.reshape(1, P), idx.reshape(P, 1), parts)
