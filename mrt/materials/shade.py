@@ -40,6 +40,54 @@ def _rows_of(materials, rows):
     return take_rows(materials.packed, rows)
 
 
+# Auto-enable need-masked texel-fetch compaction on TPU (exact modulo
+# the sample math's fusion-context FMA contraction — ulp class;
+# tools/probe_eve_r05 decides the default).
+TEX_COMPACT_AUTO = False
+
+
+def _tex_compact_on(P):
+    import os
+
+    flag = os.environ.get("MRT_TEX_COMPACT")
+    if flag == "0":
+        return False
+    if flag == "1" or flag == "interpret":
+        return True
+    if not TEX_COMPACT_AUTO or P < 16384:
+        return False
+    from ..geometry.spheres import _use_pallas
+
+    return _use_pallas()
+
+
+def sample_tex(scene, ids, uv, need=None):
+    """Atlas sample for a wavefront, optionally restricted to the
+    lanes that actually consume the value (zeros elsewhere).
+
+    The qdata gather costs ~17 ns per OUTPUT row on TPU whether or
+    not a lane needs the texel; with `need` given and compaction on,
+    the fetch runs on the <= K compacted needing lanes
+    (ops/compact — one-hot MXU both ways, no serial loops).  Callers
+    must already mask every consumer by `need` (they do: is_eve /
+    applies / tex>=0 & hit selects)."""
+    ids0 = jnp.maximum(ids, 0)
+    if need is None or not _tex_compact_on(ids.shape[0]):
+        s = scene.atlas.sample(ids0, uv, raw=scene.mat_tex_raw)
+        return s if need is None else jnp.where(need[:, None], s, 0.0)
+    from ..ops import compact
+
+    P = ids.shape[0]
+    K = -(-max(2048, P // 4) // compact.L_DEFAULT) * compact.L_DEFAULT
+    x = jnp.concatenate(
+        [ids0.astype(jnp.float32)[:, None], uv], axis=-1)
+    fn = lambda xc: scene.atlas.sample(
+        jnp.round(xc[:, 0]).astype(jnp.int32), xc[:, 1:3],
+        raw=scene.mat_tex_raw)
+    return compact.compact_apply(
+        fn, need, x, K, pad_row=jnp.asarray([0.0, 0.5, 0.5]))
+
+
 def _icol(packed_rows, col):
     return jnp.round(packed_rows[:, col]).astype(jnp.int32)
 
@@ -92,24 +140,26 @@ def surface_rgba(scene, rows, uv):
     return jnp.where((tex >= 0)[:, None], sampled, solid)
 
 
-def eve_surface(scene, rows, uv):
+def eve_surface(scene, rows, uv, hit=None):
     """EVE packed-PBR surface evaluation (reference: eve.rs:91-134).
 
     Returns (color (N,3), mix_ratio (N,), glow_emission (N,3)).
+    `hit`: optional need mask — texel fetches compact to lanes that
+    hit textured geometry (outputs are zero elsewhere; every consumer
+    already selects by is_eve).
     """
     materials = scene.materials
-    atlas = scene.atlas
     m = _rows_of(materials, rows)
     # (A fused 32-col pair gather for ar+pmdg was tried and measured
     # SLOWER on hardware — 4.2 vs 2x1.6 ms: the serial gather loop's
     # cost grows with row bytes, so two 16-col fetches win.  See
     # BASELINE r4 "texture gather work".)
-    ar = atlas.sample(
-        jnp.maximum(_icol(m, T.MaterialTable.C_TEX), 0),
-        uv, raw=scene.mat_tex_raw)
-    pmdg = atlas.sample(
-        jnp.maximum(_icol(m, T.MaterialTable.C_TEX_PMDG), 0), uv,
-        raw=scene.mat_tex_raw)
+    tex = _icol(m, T.MaterialTable.C_TEX)
+    tex_pmdg = _icol(m, T.MaterialTable.C_TEX_PMDG)
+    ar = sample_tex(scene, tex, uv,
+                    None if hit is None else (tex >= 0) & hit)
+    pmdg = sample_tex(scene, tex_pmdg, uv,
+                      None if hit is None else (tex_pmdg >= 0) & hit)
     albedo, roughness = ar[..., :3], ar[..., 3]
     paint = pmdg[..., 0]
     mat_mask = pmdg[..., 1]
@@ -161,7 +211,7 @@ def _emitted_from(scene, rows, mtype, emit_rgb, hits):
     e = emit_rgb * is_light[:, None].astype(jnp.float32)
     if scene.atlas is not None:
         is_eve = mtype == T.EVE
-        _, _, glow_e = eve_surface(scene, rows, hits.uv)
+        _, _, glow_e = eve_surface(scene, rows, hits.uv, hit=hits.hit)
         e = jnp.where(is_eve[:, None], glow_e, e)
     return jnp.where(hits.hit[:, None], e, 0.0)
 
@@ -184,8 +234,7 @@ def apply_normal_maps(scene, hits, d_in):
     applies = ((_icol(m, T.MaterialTable.C_MTYPE) == T.EVE)
                & (tex_no >= 0) & hits.hit & has_frame)
 
-    px = scene.atlas.sample(jnp.maximum(tex_no, 0), hits.uv,
-                            raw=scene.mat_tex_raw) * 2.0 - 1.0
+    px = sample_tex(scene, tex_no, hits.uv, applies) * 2.0 - 1.0
     x = 1.0 - px[..., 1] ** 2 - px[..., 3] ** 2
     z = jnp.sqrt(jnp.abs(x))
     tn = vec.unit(jnp.stack([px[..., 1], px[..., 3], z], axis=-1))
@@ -250,9 +299,12 @@ def _scatter_from(scene, rows, mtype, params, hits, d_in, sampler):
     else:
         tex = _icol(_rows_of(scene.materials, rows),
                     T.MaterialTable.C_TEX)
-        sampled = scene.atlas.sample(jnp.maximum(tex, 0), hits.uv,
-                                     raw=scene.mat_tex_raw)
-        rgba = jnp.where((tex >= 0)[:, None], sampled, solid_rgba)
+        # Same need expression as eve_surface's ar fetch -> the two
+        # compact_apply calls CSE into one.
+        sampled = sample_tex(scene, tex, hits.uv,
+                             (tex >= 0) & hits.hit)
+        rgba = jnp.where(((tex >= 0) & hits.hit)[:, None], sampled,
+                         solid_rgba)
     albedo = rgba[..., :3]
 
     # --- Lambertian (material.rs:204-220) ---------------------------------
@@ -286,7 +338,8 @@ def _scatter_from(scene, rows, mtype, params, hits, d_in, sampler):
     is_eve = mtype == T.EVE
     one = jnp.ones_like(albedo)
     if scene.atlas is not None:
-        eve_color, eve_ratio, _ = eve_surface(scene, rows, hits.uv)
+        eve_color, eve_ratio, _ = eve_surface(scene, rows, hits.uv,
+                                              hit=hits.hit)
         u_eve = sampler.next1()
         pick_lam = u_eve < eve_ratio
         # Lambertian arm uses its own scatter direction; Specular arm is
