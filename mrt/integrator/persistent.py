@@ -49,6 +49,7 @@ role of the OS scheduler keeping CPU cores busy.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -719,14 +720,17 @@ def _pend_enabled(pend, *, pool, width, height, slots):
 PEND_AUTO_ON = False
 
 
-def _film_mm_enabled(film_mm, *, samples, width, height, slots):
+def _film_mm_enabled(film_mm, *, samples, width, height, slots,
+                     pool=POOL):
     """Resolve the one-hot MXU film-deposit mode: None = auto.
 
-    Auto is TPU-only, big-frame-mode-only, and samples >= MM_MIN_SPP:
-    the claim gate spans W*samples work items, so low spp shrinks the
-    window's straggler headroom (a depth-d straggler pins min_live
-    while claims advance ~pool/avg_len items/step).  MRT_FILM_MM=1/0
-    forces; MRT_FILM_MM_W sets the window width."""
+    Auto is TPU-only, big-frame-mode-only, samples >= MM_MIN_SPP.
+    Window width: the frontier window must out-span the straggler
+    tail's age in claim-items (~pool/avg_len per step), so
+    W * samples ~ 4 * pool fits the hardware sweep
+    (artifacts/film_mm_r05.json: spp64 best at W=8192 = 11.76M vs
+    9.02 scatter, spp8 best at W=32768 = 9.80M vs 7.80).
+    MRT_FILM_MM=1/0 forces; MRT_FILM_MM_W overrides the width."""
     if film_mm is False or film_mm == 0:
         return 0
     from ..ops import film_deposit as fd
@@ -735,9 +739,14 @@ def _film_mm_enabled(film_mm, *, samples, width, height, slots):
     slots_eff, slab, npix_pad, big_mode = _slots_for(npix, slots)
     if not big_mode:
         return 0
-    w = min(fd.DEFAULT_W, slots_eff)
     if film_mm and film_mm is not True and film_mm is not None:
         return min(int(film_mm), slots_eff)
+    if os.environ.get("MRT_FILM_MM_W"):
+        w = fd.DEFAULT_W
+    else:
+        w = 1 << max(13, min(15, (4 * pool // max(int(samples), 1))
+                             .bit_length() - 1))
+    w = min(w, slots_eff)
     flag = fd.mode()
     if flag == "0":
         return 0
@@ -749,10 +758,11 @@ def _film_mm_enabled(film_mm, *, samples, width, height, slots):
     return 0
 
 
-# Flip after hardware timing shows the windowed one-hot MXU deposit
-# beats the XLA pool-row scatter (tools/probe_film_mm.py).
-MM_AUTO_ON = False
-MM_MIN_SPP = 32
+# Hardware-decided r5 (artifacts/film_mm_r05.json): the scatter-free
+# deposit beats the serial scatter at every measured workload with
+# samples >= 8 (+30% at the named spp64 workload, +26% at spp8).
+MM_AUTO_ON = True
+MM_MIN_SPP = 8
 
 
 def render_samples_chunked(scene, camera, width, height, seed,
@@ -776,7 +786,7 @@ def render_samples_chunked(scene, camera, width, height, seed,
         depth_sum = jnp.zeros((npix,), jnp.int32)
 
     film_mm = _film_mm_enabled(film_mm, samples=samples, width=width,
-                               height=height, slots=slots)
+                               height=height, slots=slots, pool=pool)
     pend = False if film_mm else _pend_enabled(
         pend, pool=pool, width=width, height=height, slots=slots)
     statics = dict(width=width, height=height, max_depth=max_depth,
