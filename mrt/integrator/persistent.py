@@ -61,6 +61,8 @@ from .wavefront import MAX_DEPTH, T_MIN
 
 POOL = 1 << 17
 CHUNK_STEPS = 8
+# (Round 5: in big-frame mode on TPU the per-step dest update runs
+# scatter-free through ops/film_deposit — see _film_mm_enabled.)
 # Rolling film-slot accumulator (pixels): the claim window.  Hard
 # ceiling 2^18 rows: the in-graph scatter cost cliffs between 4.2MB
 # and 4.7MB of destination (tools/profile_film2.py on v5e — 2^18 rows
