@@ -48,7 +48,7 @@ def test_production_step_compiles_for_tpu(topo_sharding, scene_name,
     w, h, samples, pool, depth = 64, 32, 2, 2048, 8
 
     (total, make_rays, step, maybe_flush, finalize, layout,
-     neutral) = PP._build(scene, camera, w, h, 1, 0, samples, depth,
+     neutral, _fp) = PP._build(scene, camera, w, h, 1, 0, samples, depth,
                           pool, 0, None, 1, None, None)
     slots_eff, slab, npix_pad, big_mode = layout
     dest = jnp.zeros((slots_eff if big_mode else npix_pad, 4),

@@ -91,7 +91,7 @@ def main():
                 sc, cam2 = Menger(level=5, bake=2).generate()
             else:
                 sc, cam2 = get(sname)().generate()
-            (t2, mr2, step2, mf2, fin2, lay2, n2) = PP._build(
+            (t2, mr2, step2, mf2, fin2, lay2, n2, _fp2) = PP._build(
                 sc, cam2, wz, hz, 1, 0, sz, 16, 1 << 14, 0, None, 1,
                 None, None)
             se2, sl2, np2, bm2 = lay2
