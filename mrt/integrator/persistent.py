@@ -78,12 +78,17 @@ FLUSH_STEPS = 8
 _BIG = jnp.int32(2 ** 30)
 
 
-def _slots_for(npix, slots):
-    """Static layout: (slots_eff, slab, npix_pad, big_mode)."""
+def _slots_for(npix, slots, mm=False):
+    """Static layout: (slots_eff, slab, npix_pad, big_mode).
+
+    mm=True (scatter-free film deposit active) pads the small-mode
+    film slice to a 32768 multiple so the one-hot ring-flush kernel's
+    output blocks divide evenly; padding rows receive no
+    contributions and are dropped at unpack."""
     slots = min(slots, SLOTS) if slots else SLOTS
     if npix <= slots:
         # Small mode: the accumulator IS the (padded) film slice.
-        pad = -npix % 8
+        pad = -npix % (32768 if mm else 8)
         return npix + pad, npix + pad, npix + pad, False
     # Big-mode slot indexing is `q & (slots-1)`: power of two required.
     assert slots & (slots - 1) == 0, f"slots {slots} not a power of 2"
@@ -202,10 +207,11 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
     npix = n_pixels if n_pixels is not None else width * height
     total = npix * samples  # `samples` may be traced: total only feeds
     # comparisons/arithmetic, never shapes — one compile serves any spp.
-    layout = _slots_for(npix, slots)
+    film_mm = int(film_mm)
+    layout = _slots_for(npix, slots, mm=bool(film_mm))
     slots_eff, slab, npix_pad, big_mode = layout
-    film_mm = int(film_mm) if big_mode else 0
     if film_mm:
+        film_mm = min(film_mm, slots_eff)
         assert not pend, "film_mm and pend film modes are exclusive"
         assert film_mm <= slots_eff and film_mm % 128 == 0, (
             film_mm, slots_eff)
@@ -586,7 +592,7 @@ def render_samples_persistent(scene, camera, width, height, seed,
         init_limit = _BIG
     state = _init_state(make_rays, pool, dest, vzero_f, vzero_i,
                         init_limit, neutral,
-                        pending="mm" if film_mm and big_mode
+                        pending="mm" if film_mm
                         else bool(pend))
 
     def cond(carry):
@@ -619,7 +625,8 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
     (total, make_rays, step, maybe_flush, finalize, layout,
      neutral, flush_pendings) = _build(
         scene, camera, width, height, seed, sample_start, samples,
-        max_depth, pool, 0, None, 1, rr_depth, slots)
+        max_depth, pool, 0, None, 1, rr_depth, slots, pend=pend,
+        film_mm=film_mm)
     slots_eff, slab, npix_pad, big_mode = layout
     zero = jnp.float32(0.0)
     dest = jnp.zeros((slots_eff if big_mode else npix_pad, 4),
@@ -629,7 +636,7 @@ def _chunk_init(scene, camera, film_sum, depth_sum, seed, sample_start,
                   if big_mode else _BIG)
     return (_init_state(make_rays, pool, dest, zero, jnp.int32(0),
                         init_limit, neutral,
-                        pending="mm" if film_mm and big_mode
+                        pending="mm" if film_mm
                         else bool(pend)), film)
 
 
@@ -738,9 +745,8 @@ def _film_mm_enabled(film_mm, *, samples, width, height, slots,
     from ..ops import film_deposit as fd
 
     npix = width * height
-    slots_eff, slab, npix_pad, big_mode = _slots_for(npix, slots)
-    if not big_mode:
-        return 0
+    slots_eff, slab, npix_pad, big_mode = _slots_for(npix, slots,
+                                                     mm=True)
     if film_mm and film_mm is not True and film_mm is not None:
         return min(int(film_mm), slots_eff)
     if os.environ.get("MRT_FILM_MM_W"):
@@ -755,15 +761,19 @@ def _film_mm_enabled(film_mm, *, samples, width, height, slots,
     if flag == "1" or film_mm is True:
         return w
     from ..geometry.spheres import _on_tpu
-    if MM_AUTO_ON and _on_tpu() and samples >= MM_MIN_SPP:
+    auto = MM_AUTO_ON if big_mode else MM_SMALL_AUTO
+    if auto and _on_tpu() and samples >= MM_MIN_SPP:
         return w
     return 0
 
 
 # Hardware-decided r5 (artifacts/film_mm_r05.json): the scatter-free
-# deposit beats the serial scatter at every measured workload with
-# samples >= 8 (+30% at the named spp64 workload, +26% at spp8).
+# deposit beats the serial scatter at every measured big-frame
+# workload with samples >= 8 (+30% at the named spp64 workload, +26%
+# at spp8).  Small-frame (zoo) mode pending its own A/B
+# (tools/probe_zoo_mm.py).
 MM_AUTO_ON = True
+MM_SMALL_AUTO = False
 MM_MIN_SPP = 8
 
 

@@ -152,7 +152,13 @@ def compact_apply(fn, mask, x, K, L=L_DEFAULT, pad_row=None):
         pos = jnp.cumsum(m.astype(jnp.int32)) - 1
         mk = m & (pos < K)
         xc, posk, _ = compact_rows(mk, x, K, L=L, pad_row=pad_row)
-        out = out + expand_rows(fn(xc), posk, mk)
+        y = fn(xc)
+        # The one-hot expand contracts 0 * table rows, so ONE
+        # non-finite fn output would poison every lane (seen on eve:
+        # the single NaN path spread to 6033 pixels).  Dropping it
+        # here matches the film NaN guard semantics.
+        y = jnp.where(jnp.isfinite(y), y, 0.0)
+        out = out + expand_rows(y, posk, mk)
         return out, m & ~mk
 
     out, _ = jax.lax.while_loop(cond, body, (out0, mask))

@@ -145,7 +145,12 @@ def deposit_matmul(dest, q, contrib, base, W, L=None):
         pad = win
     else:
         pad = jnp.zeros((slots, C), jnp.float32).at[:W].set(win)
-    shift = base & (slots - 1)
+    if slots & (slots - 1) == 0:
+        shift = base & (slots - 1)
+    else:
+        # Small-frame mode: dest is the npix_pad film slice (not a
+        # power of two).  Rows that wrap carry zeros (no live q there).
+        shift = base % slots
     return dest + jnp.roll(pad, shift, axis=0)
 
 

@@ -85,7 +85,8 @@ def render(scene, camera, width, height, spp=64, seed=1,
 def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
                            *, width, height,
                            max_depth=wavefront.MAX_DEPTH, samples=1,
-                           pool=None, rr_depth=None, sort_rays=None):
+                           pool=None, rr_depth=None, sort_rays=None,
+                           film_mm=None):
     """Ray-regeneration render pass (integrator.persistent): ~100% lane
     utilisation regardless of depth — the fast path for deep bounces.
 
@@ -120,7 +121,8 @@ def render_pass_persistent(scene, camera, film: Film, seed, sample_start,
         max_depth=max_depth, pool=pool,
         film_sum=film.sum.reshape(-1, 3),
         depth_sum=film.depth_sum.reshape(-1), rr_depth=rr_depth,
-        sort_rays=int(sort_rays))  # cadence: 0 off, k = every k steps
+        sort_rays=int(sort_rays),  # cadence: 0 off, k = every k steps
+        film_mm=film_mm)
     return film.replace(
         sum=film_sum.reshape(height, width, 3),
         depth_sum=depth_sum.reshape(height, width),

@@ -101,3 +101,18 @@ def test_film_mm_render_matches_scatter(spp):
     np.testing.assert_array_equal(np.asarray(d_mm), np.asarray(d_ref))
     np.testing.assert_allclose(np.asarray(f_mm), np.asarray(f_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_film_mm_small_mode_matches_scatter():
+    # Small-frame (zoo) mode: dest IS the padded film slice; the
+    # deposit window rides the frame directly and stragglers park.
+    scene, camera = get("rtiow")(aspect_ratio=1.0).generate()
+    kw = dict(width=64, height=64, seed=5, sample_start=0, samples=4,
+              max_depth=8, pool=2048)
+    f_ref, d_ref = render_samples_chunked(scene, camera, **kw,
+                                          film_mm=0)
+    f_mm, d_mm = render_samples_chunked(scene, camera, **kw,
+                                        film_mm=1024)
+    np.testing.assert_array_equal(np.asarray(d_mm), np.asarray(d_ref))
+    np.testing.assert_allclose(np.asarray(f_mm), np.asarray(f_ref),
+                               rtol=1e-5, atol=1e-6)
