@@ -76,8 +76,9 @@ def main():
 
     def progress(i, params, loss):
         if i % 20 == 0:
-            err = float(jnp.abs(params - true).max())
-            print(f"step {i:3d} loss {loss:.6f} max|texel err| {err:.3f}")
+            err = float(jnp.abs(params[..., :3] - true[..., :3]).mean())
+            print(f"step {i:3d} loss {loss:.6f} "
+                  f"mean|rgb texel err| {err:.3f}")
 
     params, losses = inverse.optimize(
         apply, jnp.full((4, 4, 4), 0.5, jnp.float32), camera, 24, 24,
