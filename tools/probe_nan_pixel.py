@@ -42,24 +42,23 @@ def main():
     scene, camera = get("eve")(aspect_ratio=W / H).generate()
 
     @jax.jit
-    def one(start, n):
+    def one_px(start, n, pixel):
+        # pixel_offset is traced -> one compiled program serves every
+        # probed pixel.
         return render_samples_persistent(
             scene, camera, W, H, SEED, start, n, max_depth=DEPTH,
-            pool=1024, pixel_offset=PIXEL, n_pixels=1)
+            pool=1024, pixel_offset=pixel, n_pixels=1)
 
+    def one(start, n):
+        return one_px(start, n, jnp.uint32(PIXEL))
+
+    global PIXEL
     f, d = one(0, SPP)
     f = np.asarray(f)
     print(f"pixel {PIXEL} spp{SPP}: {f} nan={np.isnan(f).any()}",
           flush=True)
 
-    bad = []
-    for s in range(SPP):
-        fs, _ = one(s, 1)
-        if np.isnan(np.asarray(fs)).any():
-            bad.append(s)
-            print(f"  sample {s}: NaN {np.asarray(fs)}", flush=True)
-    print("bad samples:", bad, flush=True)
-    if not bad and not np.isnan(f).any():
+    if not np.isnan(f).any():
         # Stage 0 fallback: the production full-frame render (auto
         # sort cadence etc.) that showed the NaN originally.
         print("single-pixel clean; rendering the full frame...",
@@ -69,9 +68,24 @@ def main():
         film = render(scene, camera, W, H, spp=SPP, max_depth=DEPTH,
                       seed=SEED, persistent=True)
         sarr = np.asarray(film.sum)
-        nans = np.argwhere(~np.isfinite(sarr.sum(-1)))
-        print(f"full-frame nonfinite pixels: "
-              f"{[int(y) * W + int(x) for y, x in nans[:16]]}",
+        nans = [int(y) * W + int(x)
+                for y, x in np.argwhere(~np.isfinite(sarr.sum(-1)))]
+        print(f"full-frame nonfinite pixels: {nans[:16]}", flush=True)
+        if not nans:
+            return
+        PIXEL = nans[0]
+        f, d = one(0, SPP)
+        print(f"pixel {PIXEL}: {np.asarray(f)}", flush=True)
+
+    bad = []
+    for s in range(SPP):
+        fs, _ = one(s, 1)
+        if np.isnan(np.asarray(fs)).any():
+            bad.append(s)
+            print(f"  sample {s}: NaN {np.asarray(fs)}", flush=True)
+    print("bad samples:", bad, flush=True)
+    if not bad:
+        print("per-sample clean — NaN needs multi-sample context?!",
               flush=True)
         return
 
