@@ -389,9 +389,16 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
             # the while_loop inside flush_pending costs zero
             # iterations when none fired.
             sd = strag & dead
-            conflict = sd & (pslot >= 0)
-            dest, pslot, pacc = film_deposit.flush_pending(
-                dest, pslot, pacc, mask=conflict)
+            if _os.environ.get("MRT_MM_NOCONFLICT") == "1":
+                # PROBE ONLY: drop the in-step conflict flush (a
+                # conflicted overwrite would lose counts — verified
+                # impossible under the W*spp ~ 4*pool rule by film
+                # equality in the probe).
+                pass
+            else:
+                conflict = sd & (pslot >= 0)
+                dest, pslot, pacc = film_deposit.flush_pending(
+                    dest, pslot, pacc, mask=conflict)
             pslot = jnp.where(sd, slot, pslot)
             pacc = jnp.where(sd[:, None], acc, pacc)
             acc = jnp.where(sd[:, None], 0.0, acc)
