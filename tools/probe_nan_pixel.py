@@ -28,6 +28,7 @@ SPP = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 W = int(sys.argv[3]) if len(sys.argv) > 3 else 960
 H = int(sys.argv[4]) if len(sys.argv) > 4 else 540
 DEPTH = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+KNOWN_SAMPLE = int(sys.argv[6]) if len(sys.argv) > 6 else -1
 SEED = 1
 
 
@@ -53,6 +54,8 @@ def main():
         return one_px(start, n, jnp.uint32(PIXEL))
 
     global PIXEL
+    if KNOWN_SAMPLE >= 0:
+        return replay(scene, camera, KNOWN_SAMPLE)
     f, d = one(0, SPP)
     f = np.asarray(f)
     print(f"pixel {PIXEL} spp{SPP}: {f} nan={np.isnan(f).any()}",
@@ -89,9 +92,18 @@ def main():
               flush=True)
         return
 
-    # Stage 3: bounce replay of the first bad sample on an N-lane
-    # batch of identical rays (the packet kernels want wide batches).
-    s = bad[0] if bad else 0
+    return replay(scene, camera, bad[0])
+
+
+def replay(scene, camera, s):
+    """Stage 3: bounce replay of the bad sample on an N-lane batch of
+    identical rays (the packet kernels want wide batches), dumping
+    per-bounce hit + shade internals."""
+    import jax
+    import jax.numpy as jnp
+    from mrt.integrator import wavefront
+    from mrt.math.rng import Sampler
+
     N = 1024
     pixel = jnp.full((N,), PIXEL, jnp.uint32)
     sample = jnp.full((N,), s, jnp.uint32)
@@ -103,6 +115,26 @@ def main():
     o, d = camera.rays((px + jx) / W, (py + jy) / H, du, dv)
     ray_id = pixel ^ (sample * jnp.uint32(0x85EBCA6B))
 
+    from mrt.materials import shade as shade_mod
+    from mrt.materials import table as T
+
+    @jax.jit
+    def detail(b, o, d):
+        vol = Sampler(SEED, ray_id, salt=3 * b + 2)
+        hits = scene.intersect(o, d, t_min=wavefront.T_MIN,
+                               sampler=vol)
+        em = Sampler(SEED, ray_id, salt=3 * b)
+        sc = Sampler(SEED, ray_id, salt=3 * b + 1)
+        emitted, atten, new_dir, scattered, lobe = shade_mod.shade_hit(
+            scene, hits, d, em, sc)
+        from mrt.ops.rowlookup import take_rows_with_int
+        params, mtype = take_rows_with_int(
+            scene.materials.params, scene.materials.mtype,
+            hits.material)
+        return (hits.hit, hits.t, hits.material, mtype, hits.normal,
+                hits.uv, hits.tangent, hits.bitangent,
+                hits.front_face, emitted, atten, new_dir, scattered)
+
     state = (o, d, jnp.ones_like(o), jnp.zeros_like(o),
              jnp.ones((N,), bool), jnp.zeros((N,), jnp.int32),
              jnp.zeros((N,), jnp.float32))
@@ -110,7 +142,14 @@ def main():
         scene, ray_id, SEED, b, st))
     names = ["o", "d", "throughput", "radiance", "alive", "bounces",
              "prev_pdf"]
+    dkeys = ("hit", "t", "mat", "mtype", "normal", "uv", "tangent",
+             "bitangent", "front_face", "emitted", "atten", "new_dir",
+             "scattered")
     for b in range(DEPTH):
+        det = detail(jnp.int32(b), state[0], state[1])
+        drow = {k: np.asarray(v)[0] for k, v in zip(dkeys, det)}
+        print(f"  detail b{b}: " + " ".join(
+            f"{k}={drow[k]}" for k in dkeys), flush=True)
         state = step(jnp.int32(b), state)
         row = {k: np.asarray(v)[0] for k, v in zip(names, state)}
         flags = [k for k in ("o", "d", "throughput", "radiance",
