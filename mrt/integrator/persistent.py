@@ -327,6 +327,12 @@ def _build(scene, camera, width, height, seed, sample_start, samples,
         slot = q & jnp.int32(slots_eff - 1) if big_mode else q
         contrib = jnp.concatenate(
             [radiance_add, scat.astype(jnp.float32)[:, None]], axis=-1)
+        if os.environ.get("MRT_NAN_GUARD") == "1":
+            # Opt-in film guard (VERDICT r4 #4): drop non-finite
+            # contributions so one degenerate path cannot poison a
+            # pixel's accumulation for the rest of a showcase render.
+            # (The film_mm path sanitizes unconditionally below.)
+            contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
         import os as _os
         if _os.environ.get("MRT_FILM_SKIP") == "1":
             # PROBE ONLY (wrong output): drop the film update entirely

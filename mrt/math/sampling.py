@@ -30,9 +30,19 @@ def unit_vector(u1, u2):
 
 
 def in_unit_sphere(u1, u2, u3):
-    """Uniform point inside the unit ball from three uniforms."""
+    """Uniform point inside the unit ball from three uniforms.
+
+    u3 is clamped off exact zero: the closed-form r = cbrt(u3) maps
+    the RNG's u3 == 0.0 draw (~2^-24 per draw — reached in practice,
+    the r5 eve NaN pixel) to the ZERO VECTOR, which as an isotropic
+    scatter direction makes a degenerate ray whose background eval
+    divides 0/0.  The reference's rejection sampler
+    (src/math.rs:80-90) would need three exact-zero draws (~2^-72) to
+    emit it, so the zero vector is OUR closed-form artifact, not a
+    reference behavior.  Clamping moves a 2^-24-probability pointmass
+    to r~0.003 — every nonzero draw is bit-identical."""
     d = unit_vector(u1, u2)
-    r = jnp.cbrt(u3)
+    r = jnp.cbrt(jnp.maximum(u3, 2.0 ** -25))
     return d * r[..., None]
 
 
