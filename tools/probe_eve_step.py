@@ -11,7 +11,7 @@ donation and sorting exactly as shipped), then time isolated
 intersect / shade on that very state's live wavefront.
 
 Usage: python tools/probe_eve_step.py [scene] (default eve)
-Writes artifacts/eve_step_r04.json.
+Writes artifacts/step_<scene>_r05.json.
 """
 import json
 import os
@@ -136,7 +136,7 @@ def main():
         "other_ms": round(step_ms - t_isect - t_shade, 3),
     }
     art = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "eve_step_r04.json")
+        os.path.abspath(__file__))), "artifacts", f"step_{name}_r05.json")
     prev = {}
     if os.path.exists(art):
         with open(art) as f:
