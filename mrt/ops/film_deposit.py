@@ -101,9 +101,6 @@ def deposit_matmul(dest, q, contrib, base, W, L=None):
     assert W % L == 0 and W <= slots, (W, L, slots)
     wh = W // L
 
-    h, m, l = _split3(contrib)
-    parts = jnp.concatenate([h, m, l], axis=-1)          # (P, 3C) bf16
-
     from . import pallas_onehot
 
     P = contrib.shape[0]
@@ -114,12 +111,16 @@ def deposit_matmul(dest, q, contrib, base, W, L=None):
                   and (mode_ in ("pallas", "interpret")
                        or pallas_onehot.on_tpu()))
     if use_pallas:
-        # The kernel drops idx outside [0, W) itself (contract: such
-        # rows carry zero parts — guaranteed: contrib is zeroed for
-        # straggler/inactive lanes and isfinite-sanitised upstream).
-        win = pallas_onehot.onehot_deposit(
-            q - base, parts, W, interpret=(mode_ == "interpret"))
+        # Raw-f32 kernel: the 3-term split + finite-sanitise happen
+        # in VMEM, so no (P, 3C) parts operand materialises.  The
+        # kernel drops idx outside [0, W) itself (contract: such rows
+        # carry zero/finite values — contrib is zeroed for
+        # straggler/inactive lanes upstream).
+        win = pallas_onehot.onehot_deposit_f32(
+            q - base, contrib, W, interpret=(mode_ == "interpret"))
     else:
+        h, m, l = _split3(contrib)
+        parts = jnp.concatenate([h, m, l], axis=-1)      # (P, 3C) bf16
         # XLA fallback/spec: same two-level factorisation.  XLA:TPU
         # materialises the ⊗ operand to HBM (~2x step cost — why the
         # Pallas path exists); fine on CPU and as the executable spec.

@@ -77,6 +77,75 @@ def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, whb, nc):
 ROW_BLOCK = 256
 
 
+def _kernel_f32(idx_row_ref, idx_col_ref, vals_ref, out_ref, *, whb,
+                nc):
+    """As _kernel, but takes raw f32 values and performs the
+    fold-proof 3-term bf16 split + finite-sanitise in VMEM — the
+    XLA-side parts materialisation (P x 3C bf16) and where-chains
+    disappear from the step graph."""
+    @pl.when(pl.program_id(1) == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    j = pl.program_id(0)
+    idx_col = idx_col_ref[...]                      # (BP, 1) int32
+    lo = idx_col & (L - 1)
+    ohlo = (lo == jax.lax.broadcasted_iota(
+        jnp.int32, (BP, L), 1)).astype(jnp.bfloat16)        # (BP, L)
+    hi_row = (idx_row_ref[...] >> 7) - j * whb      # (1, BP) int32
+    ohhi_t = (jax.lax.broadcasted_iota(jnp.int32, (whb, BP), 0)
+              == hi_row).astype(jnp.bfloat16)       # (whb, BP)
+
+    v = vals_ref[...]                               # (BP, C) f32
+    v = jnp.where(jnp.isfinite(v), v, 0.0)
+
+    def near_bf16(x):
+        b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        hb = (b + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
+        return jax.lax.bitcast_convert_type(hb, jnp.float32)
+
+    h = near_bf16(v)
+    r1 = v - h
+    m = near_bf16(r1)
+    lo_t = (r1 - m).astype(jnp.bfloat16)
+    parts = jnp.concatenate(
+        [h.astype(jnp.bfloat16), m.astype(jnp.bfloat16), lo_t],
+        axis=1)                                     # (BP, nc)
+    a = jnp.concatenate(
+        [ohlo * parts[:, c:c + 1] for c in range(nc)], axis=1)
+    out_ref[...] += jax.lax.dot_general(
+        ohhi_t, a, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def onehot_deposit_f32(idx, vals, n_rows, interpret=False):
+    """Segment-sum raw f32 `vals` by `idx` into (n_rows, 3C) f32 with
+    the 3-term split done in-kernel; combine the returned hi/mid/lo
+    column groups with (a+b)+c for the exact value.  Non-finite vals
+    are dropped in-kernel (the film NaN guard)."""
+    P, C = vals.shape
+    nc = 3 * C
+    assert n_rows % L == 0 and P % BP == 0, (n_rows, P)
+    wh = n_rows // L
+    whb = min(wh, ROW_BLOCK)
+    assert wh % whb == 0, (wh, whb)
+    idx = idx.astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_f32, whb=whb, nc=nc),
+        grid=(wh // whb, P // BP),
+        in_specs=[
+            pl.BlockSpec((1, BP), lambda j, i: (0, i)),
+            pl.BlockSpec((BP, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((BP, C), lambda j, i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((whb, nc * L), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((wh, nc * L), jnp.float32),
+        interpret=interpret,
+    )(idx.reshape(1, P), idx.reshape(P, 1), vals)
+    return out.reshape(wh, nc, L).transpose(0, 2, 1).reshape(n_rows, nc)
+
+
 def onehot_deposit(idx, parts, n_rows, interpret=False):
     """Segment-sum `parts` rows by `idx` into (n_rows, C) f32.
 
