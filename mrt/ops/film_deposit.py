@@ -111,13 +111,22 @@ def deposit_matmul(dest, q, contrib, base, W, L=None):
                   and (mode_ in ("pallas", "interpret")
                        or pallas_onehot.on_tpu()))
     if use_pallas:
-        # Raw-f32 kernel: the 3-term split + finite-sanitise happen
-        # in VMEM, so no (P, 3C) parts operand materialises.  The
-        # kernel drops idx outside [0, W) itself (contract: such rows
-        # carry zero/finite values — contrib is zeroed for
-        # straggler/inactive lanes upstream).
-        win = pallas_onehot.onehot_deposit_f32(
-            q - base, contrib, W, interpret=(mode_ == "interpret"))
+        if os.environ.get("MRT_ONEHOT_F32") == "1":
+            # In-kernel split variant: measured SLOWER on hardware
+            # (10.04 vs 11.76 Mrays/s at the named workload — the
+            # per-block VPU split work loses to XLA's fused split
+            # feeding a bf16 operand).  Kept for reference.
+            win = pallas_onehot.onehot_deposit_f32(
+                q - base, contrib, W,
+                interpret=(mode_ == "interpret"))
+        else:
+            h, m, l = _split3(contrib)
+            parts = jnp.concatenate([h, m, l], axis=-1)
+            # The kernel drops idx outside [0, W) itself (contract:
+            # such rows carry zero parts — contrib is zeroed for
+            # straggler/inactive lanes and sanitised upstream).
+            win = pallas_onehot.onehot_deposit(
+                q - base, parts, W, interpret=(mode_ == "interpret"))
     else:
         h, m, l = _split3(contrib)
         parts = jnp.concatenate([h, m, l], axis=-1)      # (P, 3C) bf16
