@@ -1,7 +1,7 @@
 """Render every zoo scene on the TPU at preview size; record cold and
 steady pass times (the steady number is the comparable one — the first
 pass includes the remote compile).  One process, one shape.  Writes
-artifacts/zoo_r04.json (VERDICT r2 #10: committed, regenerable
+artifacts/zoo_r05.json (VERDICT r2 #10: committed, regenerable
 artifacts for every cited number).
 """
 import json
@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "artifacts", "zoo_r04.json")
+    os.path.abspath(__file__))), "artifacts", "zoo_r05.json")
 
 
 def main():
