@@ -40,8 +40,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 L = 128          # low-level one-hot width == lane count
-BP = 512         # lanes per grid step
+BP = int(os.environ.get("MRT_ONEHOT_BP", "512"))  # lanes per grid step
 
 
 def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, whb, nc):
