@@ -48,7 +48,7 @@ L = 128          # low-level one-hot width == lane count
 BP = int(os.environ.get("MRT_ONEHOT_BP", "2048"))
 
 
-def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, whb, nc):
+def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, whb, nc, bp):
     @pl.when(pl.program_id(1) == 0)
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref)
@@ -57,14 +57,14 @@ def _kernel(idx_row_ref, idx_col_ref, parts_ref, out_ref, *, whb, nc):
     idx_col = idx_col_ref[...]                      # (BP, 1) int32
     lo = idx_col & (L - 1)
     ohlo = (lo == jax.lax.broadcasted_iota(
-        jnp.int32, (BP, L), 1)).astype(jnp.bfloat16)        # (BP, L)
+        jnp.int32, (bp, L), 1)).astype(jnp.bfloat16)        # (bp, L)
     # Mask lanes whose idx is outside this block's [j*whb*L,
     # (j+1)*whb*L): arithmetic-shift hi of a negative idx is negative
     # and out-of-range hi matches no row — both vanish via the hi
     # one-hot.
     hi_row = (idx_row_ref[...] >> 7) - j * whb      # (1, BP) int32
-    ohhi_t = (jax.lax.broadcasted_iota(jnp.int32, (whb, BP), 0)
-              == hi_row).astype(jnp.bfloat16)       # (whb, BP)
+    ohhi_t = (jax.lax.broadcasted_iota(jnp.int32, (whb, bp), 0)
+              == hi_row).astype(jnp.bfloat16)       # (whb, bp)
 
     p = parts_ref[...]                              # (BP, nc) bf16
     # A[p, c*L + l] = parts[p, c] * ohlo[p, l] — built per block in
@@ -82,7 +82,7 @@ ROW_BLOCK = 256
 
 
 def _kernel_f32(idx_row_ref, idx_col_ref, vals_ref, out_ref, *, whb,
-                nc):
+                nc, bp):
     """As _kernel, but takes raw f32 values and performs the
     fold-proof 3-term bf16 split + finite-sanitise in VMEM — the
     XLA-side parts materialisation (P x 3C bf16) and where-chains
@@ -95,10 +95,10 @@ def _kernel_f32(idx_row_ref, idx_col_ref, vals_ref, out_ref, *, whb,
     idx_col = idx_col_ref[...]                      # (BP, 1) int32
     lo = idx_col & (L - 1)
     ohlo = (lo == jax.lax.broadcasted_iota(
-        jnp.int32, (BP, L), 1)).astype(jnp.bfloat16)        # (BP, L)
+        jnp.int32, (bp, L), 1)).astype(jnp.bfloat16)        # (bp, L)
     hi_row = (idx_row_ref[...] >> 7) - j * whb      # (1, BP) int32
-    ohhi_t = (jax.lax.broadcasted_iota(jnp.int32, (whb, BP), 0)
-              == hi_row).astype(jnp.bfloat16)       # (whb, BP)
+    ohhi_t = (jax.lax.broadcasted_iota(jnp.int32, (whb, bp), 0)
+              == hi_row).astype(jnp.bfloat16)       # (whb, bp)
 
     v = vals_ref[...]                               # (BP, C) f32
     v = jnp.where(jnp.isfinite(v), v, 0.0)
@@ -129,19 +129,20 @@ def onehot_deposit_f32(idx, vals, n_rows, interpret=False):
     are dropped in-kernel (the film NaN guard)."""
     P, C = vals.shape
     nc = 3 * C
-    assert n_rows % L == 0 and P % BP == 0, (n_rows, P)
+    bp = min(BP, P)
+    assert n_rows % L == 0 and P % bp == 0, (n_rows, P)
     wh = n_rows // L
     whb = min(wh, ROW_BLOCK)
     assert wh % whb == 0, (wh, whb)
     idx = idx.astype(jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel_f32, whb=whb, nc=nc),
-        grid=(wh // whb, P // BP),
+        functools.partial(_kernel_f32, whb=whb, nc=nc, bp=bp),
+        grid=(wh // whb, P // bp),
         in_specs=[
-            pl.BlockSpec((1, BP), lambda j, i: (0, i)),
-            pl.BlockSpec((BP, 1), lambda j, i: (i, 0)),
-            pl.BlockSpec((BP, C), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, bp), lambda j, i: (0, i)),
+            pl.BlockSpec((bp, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((bp, C), lambda j, i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((whb, nc * L), lambda j, i: (j, 0)),
         out_shape=jax.ShapeDtypeStruct((wh, nc * L), jnp.float32),
@@ -163,7 +164,8 @@ def onehot_deposit(idx, parts, n_rows, interpret=False):
     compacted when n_rows is the full ring.
     """
     P, nc = parts.shape
-    assert n_rows % L == 0 and P % BP == 0, (n_rows, P)
+    bp = min(BP, P)
+    assert n_rows % L == 0 and P % bp == 0, (n_rows, P)
     wh = n_rows // L
     whb = min(wh, ROW_BLOCK)
     assert wh % whb == 0, (wh, whb)
@@ -171,12 +173,12 @@ def onehot_deposit(idx, parts, n_rows, interpret=False):
     idx = idx.astype(jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, whb=whb, nc=nc),
-        grid=(wh // whb, P // BP),
+        functools.partial(_kernel, whb=whb, nc=nc, bp=bp),
+        grid=(wh // whb, P // bp),
         in_specs=[
-            pl.BlockSpec((1, BP), lambda j, i: (0, i)),
-            pl.BlockSpec((BP, 1), lambda j, i: (i, 0)),
-            pl.BlockSpec((BP, nc), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, bp), lambda j, i: (0, i)),
+            pl.BlockSpec((bp, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((bp, nc), lambda j, i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((whb, nc * L), lambda j, i: (j, 0)),
         out_shape=jax.ShapeDtypeStruct((wh, nc * L), jnp.float32),
@@ -187,7 +189,7 @@ def onehot_deposit(idx, parts, n_rows, interpret=False):
 
 
 def usable(P, n_rows, nc):
-    return P % BP == 0 and n_rows % L == 0 and nc <= 32
+    return P % min(BP, P) == 0 and n_rows % L == 0 and nc <= 32
 
 
 def on_tpu():
@@ -213,16 +215,16 @@ def on_tpu():
 GATHER_MAX_TABLE = 4 << 20
 
 
-def _gather_kernel(idx_ref, t2_ref, out_ref, *, nc):
+def _gather_kernel(idx_ref, t2_ref, out_ref, *, nc, bp):
     idx = idx_ref[...]                              # (BP, 1) int32
     kh = t2_ref.shape[0]
     ohhi = ((idx >> 7) == jax.lax.broadcasted_iota(
-        jnp.int32, (BP, kh), 1)).astype(jnp.bfloat16)       # (BP, kh)
+        jnp.int32, (bp, kh), 1)).astype(jnp.bfloat16)       # (bp, kh)
     g1 = jax.lax.dot_general(
         ohhi, t2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)         # (BP, nc*L)
     ohlo = ((idx & (L - 1)) == jax.lax.broadcasted_iota(
-        jnp.int32, (BP, L), 1)).astype(jnp.float32)         # (BP, L)
+        jnp.int32, (bp, L), 1)).astype(jnp.float32)         # (bp, L)
     cols = [jnp.sum(ohlo * g1[:, c * L:(c + 1) * L], axis=1,
                     keepdims=True) for c in range(nc)]
     out_ref[...] = jnp.concatenate(cols, axis=1)    # (BP, nc)
@@ -240,7 +242,8 @@ def onehot_gather(idx, table, interpret=False):
 
     K, C = table.shape
     P = idx.shape[0]
-    assert K % L == 0 and P % BP == 0, (K, P)
+    bp = min(BP, P)
+    assert K % L == 0 and P % bp == 0, (K, P)
     h, m, l = _split3(table)
     t3 = jnp.concatenate([h, m, l], axis=-1)        # (K, 3C) bf16
     nc = 3 * C
@@ -248,13 +251,13 @@ def onehot_gather(idx, table, interpret=False):
     t2 = t3.reshape(K // L, L, nc).transpose(0, 2, 1).reshape(
         K // L, nc * L)
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, nc=nc),
-        grid=(P // BP,),
+        functools.partial(_gather_kernel, nc=nc, bp=bp),
+        grid=(P // bp,),
         in_specs=[
-            pl.BlockSpec((BP, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bp, 1), lambda i: (i, 0)),
             pl.BlockSpec((K // L, nc * L), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((BP, nc), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((bp, nc), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((P, nc), jnp.float32),
         interpret=interpret,
     )(idx.astype(jnp.int32).reshape(P, 1), t2)
@@ -262,5 +265,5 @@ def onehot_gather(idx, table, interpret=False):
 
 
 def gather_usable(P, K, C):
-    return (P % BP == 0 and K % L == 0 and C <= 10
+    return (P % min(BP, P) == 0 and K % L == 0 and C <= 10
             and K * 3 * C * 2 <= GATHER_MAX_TABLE)
