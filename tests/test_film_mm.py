@@ -103,6 +103,33 @@ def test_film_mm_render_matches_scatter(spp):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_flush_pending_multi_round_overflow():
+    # More pendings than the per-round compaction width K: the
+    # while_loop must flush in prefix chunks without losing or
+    # double-counting a row.
+    rng = np.random.default_rng(9)
+    P, slots, K = 4096, 2048, 256
+    pslot = np.where(rng.random(P) < 0.5,
+                     rng.integers(0, slots, P), -1).astype(np.int32)
+    pacc = rng.standard_normal((P, 4)).astype(np.float32)
+    dest0 = rng.standard_normal((slots, 4)).astype(np.float32)
+    ref = dest0.copy()
+    m = pslot >= 0
+    np.add.at(ref, pslot[m], pacc[m])
+    dest, ps, pa = film_deposit.flush_pending(
+        jnp.asarray(dest0), jnp.asarray(pslot), jnp.asarray(pacc),
+        K=K)
+    assert int(m.sum()) > K  # exercised the overflow rounds
+    np.testing.assert_allclose(np.asarray(dest), ref, rtol=2e-6,
+                               atol=2e-6)
+    assert (np.asarray(ps) == -1).all()
+    # Flushed rows are cleared; never-pended rows keep their buffer
+    # (always zero in production — the step only writes pacc when
+    # parking).
+    np.testing.assert_array_equal(np.asarray(pa)[m], 0.0)
+    np.testing.assert_array_equal(np.asarray(pa)[~m], pacc[~m])
+
+
 def test_film_mm_small_mode_matches_scatter():
     # Small-frame (zoo) mode: dest IS the padded film slice; the
     # deposit window rides the frame directly and stragglers park.
