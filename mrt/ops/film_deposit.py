@@ -8,42 +8,39 @@ BASELINE.md roofline).  That loop is the binding constraint on the
 RTIOW headline — the rest of the step is MXU/VPU work that gets
 ~2.2-2.7x cheaper per the roofline.
 
-This module replaces the scatter with dense MXU work.  Work items are
-claimed pixel-major, so MOST live pixels sit within W pixels of the
-claim frontier; the deposit window rides that frontier
-(base = claimed_q - W + 1).  Lanes older than the window — the
-deep-path tail — accumulate per-lane and release once at death via
-`flush_stragglers` (compacted K-row scatter).  v1 instead gated
-claims to a [min_live, min_live+W) window: measured 20-40% pool
-utilisation on hardware (artifacts/film_mm_r05.json) because RTIOW's
-dielectric tail pins min_live ~2M work items behind the frontier.
-The windowed deposit is
+This module replaces the scatter with dense MXU work — the shipped
+(v4) design, every piece hardware-measured (artifacts/film_mm_r05.json):
 
-    win[j] = sum_p onehot(q[p] - min_live == j) * contrib[p]
-    dest  += roll(pad(win), min_live mod slots)     # ring alignment
+  * Work items are claimed pixel-major, so MOST live pixels sit
+    within W pixels of the claim frontier; the per-step deposit
+    window rides that frontier (base = claimed_q - W + 1):
 
-i.e. a (W, P) x (P, C) matmul plus one full-ring elementwise add (the
-ring is ~4 MB; an elementwise add is ~20 us of HBM bandwidth vs the
-scatter's serial row loop).
+        win[j] = sum_p onehot(q[p] - base == j) * contrib[p]
+        dest  += roll(pad(win), base mod slots)     # ring alignment
 
-Two tricks make the matmul cheap:
+    computed by the ops/pallas_onehot kernel (XLA's own lowering of
+    the same matmul spills the ⊗ operand to HBM, ~2x step cost).
+  * Lanes older than the window — the deep-path tail — park their
+    accumulator in per-lane pending registers (pslot, pacc) at death
+    and `flush_pending` releases ALL of them once per FLUSH_STEPS
+    block through a row-blocked one-hot deposit into the full ring.
+    NO SCATTER ANYWHERE: an in-loop scatter costs ~1.35 ms FIXED
+    regardless of row count (8192 rows = 131072 rows — the flush
+    decomposition probe), so reducing rows buys nothing; only
+    removing the op does.
+  * 3-term bf16 value split (ops/rowlookup._split3, fold-proof
+    integer masking): products against the exact-{0,1} one-hot are
+    exact and the f32 accumulator sums them, so the film differs from
+    the serial scatter only by f32 ADD REASSOCIATION (~1e-7 relative)
+    and depth counts are bit-exact.  Not bit-identical: auto-enabled
+    per measurement, never silently under committed goldens.
 
-  * Two-level one-hot: a direct (P, W) iota-compare operand would cost
-    P*W VPU comparisons (~1.5 ms at W=16384) even though XLA fuses the
-    generation into the dot.  Factor idx = hi*L + lo: build
-    oh_lo (P, L) and oh_hi (P, W/L) — P*(L + W/L) comparisons — and
-    contract   dest[hi, (lo, c)] = oh_hi^T @ (oh_lo ⊗ parts).
-    The MXU FLOPs are identical (P*W*C*2); only the operand-generation
-    cost drops ~60x.
-  * 3-term bf16 value split (ops/rowlookup._split3): each f32
-    contribution becomes hi+mid+lo bf16 terms whose products with the
-    exact-{0,1} one-hot are exact; the f32 accumulator then sums them.
-    Unlike rowlookup's single-nonzero case this sums MANY lanes per
-    slot, so the result differs from the serial scatter only by f32
-    ADD REASSOCIATION (permutation-ulp class, ~1e-7 relative — the
-    same class as the wavefront-vs-batched accumulation difference,
-    tested to 1e-5).  Not bit-identical: opt-in/auto per measurement,
-    never silently under committed goldens (big-frame mode only).
+Failed designs, kept in the artifact for the record: v1 gated claims
+to [min_live, min_live+W) (20-40% pool utilisation — the dielectric
+tail pins min_live ~2M items behind the frontier); v2 used XLA's
+matmul (operand spill) and a cond-gated flush whose UNTAKEN
+full-width arm still cost ~1.75 ms/step (XLA pays for both cond arms
+inside the loop — use while_loops over chunks instead).
 
 The reference's analogue is its per-pass film merge under a mutex
 (reference: src/main.rs:629-638); the cost being attacked is a
@@ -65,9 +62,10 @@ from .rowlookup import _split3
 # 100 MB if fusion fails).  Hardware-swept via MRT_FILM_MM_L.
 DEFAULT_L = int(os.environ.get("MRT_FILM_MM_L", "128"))
 
-# Claim-window width (pixels).  Larger W = fewer claim stalls when a
-# deep straggler pins min_live (span ~ claim_rate * straggler_age)
-# but more MXU FLOPs (P*W*12*2).  Hardware-swept via MRT_FILM_MM_W.
+# Claim-window width (pixels).  Larger W = fewer straggler parks (a
+# lane is a straggler once the frontier runs W past its pixel) but
+# more MXU FLOPs (P*W*12*2).  The auto rule W*spp ~ 4*pool lives in
+# integrator.persistent._film_mm_enabled; MRT_FILM_MM_W overrides.
 DEFAULT_W = int(os.environ.get("MRT_FILM_MM_W", "16384"))
 
 
