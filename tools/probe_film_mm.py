@@ -72,7 +72,7 @@ def main():
             r = run(spp, pool, film_mm)
             out.append(r)
             print(json.dumps(r), flush=True)
-    with open(os.path.join(ROOT, "artifacts", "film_mm_r05.json"),
+    with open(os.path.join(ROOT, "artifacts", "film_mm_probe_last.json"),
               "w") as f:
         json.dump(out, f, indent=1)
     print("OK", flush=True)
