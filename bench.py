@@ -51,12 +51,22 @@ def main():
     if not _device_alive():
         print("# accelerator unreachable (tunnel down?); "
               "no measurement possible", file=sys.stderr)
+        last = None
+        if os.path.exists(DETAIL_FILE):
+            try:
+                with open(DETAIL_FILE) as f:
+                    last = json.load(f).get(
+                        "camera_rays_per_sec_spp64")
+            except Exception:
+                pass
         print(json.dumps({
             "metric": "camera_rays_per_sec_rtiow1080p_d50",
             "value": 0,
             "unit": "rays/s",
             "vs_baseline": 0.0,
             "error": "accelerator unreachable",
+            "last_recorded_spp64": last,   # bench_detail.json, for
+            # context only — NOT a fresh measurement
         }))
         return
 
