@@ -743,10 +743,16 @@ PEND_AUTO_ON = False
 
 
 def _film_mm_enabled(film_mm, *, samples, width, height, slots,
-                     pool=POOL):
+                     pool=POOL, scene=None):
     """Resolve the one-hot MXU film-deposit mode: None = auto.
 
-    Auto is TPU-only, big-frame-mode-only, samples >= MM_MIN_SPP.
+    Auto is TPU-only, big-frame-mode-only, samples >= MM_MIN_SPP, and
+    OFF for voxel-DDA scenes: hardware A/B (artifacts/menger_mm_r05.json,
+    menger 1080p spp16) measured the deposit losing ~15-30% at EVERY
+    window width (off 84.6s; auto-W 112.6s; W=8192 97.6s; W=4096
+    99.4s), restoring the r3 criterion timing.  The DDA step is one
+    huge fused elementwise graph; inserting the deposit pallas_call
+    breaks that fusion and the context cost exceeds the scatter saved.
     Window width: the frontier window must out-span the straggler
     tail's age in claim-items (~pool/avg_len per step), so
     W * samples ~ 4 * pool fits the hardware sweep
@@ -775,6 +781,8 @@ def _film_mm_enabled(film_mm, *, samples, width, height, slots,
         return w
     from ..geometry.spheres import _on_tpu
     auto = MM_AUTO_ON if big_mode else MM_SMALL_AUTO
+    if scene is not None and getattr(scene, "voxels", None):
+        auto = False  # measured loss at every W (menger_mm_r05.json)
     if auto and _on_tpu() and samples >= MM_MIN_SPP:
         return w
     return 0
@@ -811,7 +819,8 @@ def render_samples_chunked(scene, camera, width, height, seed,
         depth_sum = jnp.zeros((npix,), jnp.int32)
 
     film_mm = _film_mm_enabled(film_mm, samples=samples, width=width,
-                               height=height, slots=slots, pool=pool)
+                               height=height, slots=slots, pool=pool,
+                               scene=scene)
     pend = False if film_mm else _pend_enabled(
         pend, pool=pool, width=width, height=height, slots=slots)
     statics = dict(width=width, height=height, max_depth=max_depth,
