@@ -143,3 +143,29 @@ def test_film_mm_small_mode_matches_scatter():
     np.testing.assert_array_equal(np.asarray(d_mm), np.asarray(d_ref))
     np.testing.assert_allclose(np.asarray(f_mm), np.asarray(f_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_film_mm_auto_gated_off_for_voxel_scenes(monkeypatch):
+    # Hardware A/B (artifacts/menger_mm_r05.json): the deposit loses at
+    # every window width on the voxel-DDA scene at 1080p, so the
+    # big-frame auto rule must skip scenes with voxel grids — while
+    # MRT_FILM_MM=1 still forces it on.
+    from mrt.integrator import persistent
+    from mrt.geometry import spheres
+
+    monkeypatch.setattr(spheres, "_on_tpu", lambda: True)
+    monkeypatch.delenv("MRT_FILM_MM", raising=False)
+    monkeypatch.delenv("MRT_FILM_MM_W", raising=False)
+
+    class Voxelish:
+        voxels = (object(),)
+
+    class Plain:
+        voxels = None
+
+    kw = dict(samples=16, width=1920, height=1080, slots=None)
+    assert persistent._film_mm_enabled(None, **kw, scene=Plain()) > 0
+    assert persistent._film_mm_enabled(None, **kw, scene=Voxelish()) == 0
+    # Forcing overrides the gate.
+    monkeypatch.setenv("MRT_FILM_MM", "1")
+    assert persistent._film_mm_enabled(None, **kw, scene=Voxelish()) > 0
