@@ -37,11 +37,13 @@ from .triangles import Triangles, DET_EPS
 # steps; MRT_LEAF_SIZE sweeps it (tools/probe_leaf.py).
 import os as _os
 
-# Default 16: hardware sweep (BASELINE.md r3) measured lucy 262->439k
-# rays/s (leaf 4->16, +67%), eve +16%, sphere_grid +14%; 32 gains
-# another ~18% on lucy but doubles the unrolled leaf-test code in every
-# kernel and the XLA fallback, so 16 is the default and 32 an override.
-LEAF_SIZE = int(_os.environ.get("MRT_LEAF_SIZE", "16"))
+# Default 32: r5-late hardware sweep (artifacts/leaf32_r05.json) —
+# lucy +9.3% (462->505k rays/s), sphere_grid +9.2%, eve +2.7%,
+# cornell neutral, film means bit-identical on every scene.  The r3
+# sweep (4->16: lucy +67%) stopped at 16 over unrolled-code-size
+# worries; the measured compile cost is tolerable and steady-state
+# only wins.  MRT_LEAF_SIZE still sweeps it (tools/probe_leaf.py).
+LEAF_SIZE = int(_os.environ.get("MRT_LEAF_SIZE", "32"))
 
 
 @struct.dataclass
